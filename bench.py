@@ -1,0 +1,130 @@
+"""Headline benchmark: ADMM iterations/s per chip on a 512x512 mesh.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Workload (BASELINE.json config 2): 2-D TV denoising on a 512^2 lattice,
+n = 2^20 samples, matrix-free stencil D, DCT-preconditioned CG x-update,
+full reference ADMM semantics (Boyd residual norms + adaptive rho each
+iteration).
+
+Baseline: the reference C++ performs a SuperLU factorize+solve of the
+262144-unknown sparse system (O'O + rho D'D) inside *every* ADMM iteration
+(rcpp-code/MultivarTV/src/solvers.cpp:113,126) plus the sparse matvecs.
+R/Armadillo are not installed here, so the baseline is measured with
+scipy's SuperLU on the same matrices — the same factorization library the
+reference links against (Makevars:16), timed as factorize + solve + the
+per-iteration sparse matvecs, single-core.  A measured fallback constant
+is used if scipy is unavailable.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+M = (512, 512)
+N_SAMPLES = 1 << 20
+BENCH_ITERS = 400
+LAM = 0.05
+# scipy SuperLU at 512^2 measured at 2.5-3.5 s/iteration on this class of
+# hardware; used only if the live measurement below fails.
+FALLBACK_BASELINE_ITERS_PER_S = 0.4
+
+
+def measure_tpu_iters_per_s():
+    import jax
+    import jax.numpy as jnp
+    from multivartv_tpu.config import SolverConfig
+    from multivartv_tpu.solver.admm import (
+        admm_fixed_iterations, initial_state)
+    from multivartv_tpu.solver.problem import build_operators
+    from __graft_entry__ import _make_problem
+
+    dtype = jnp.float32
+    cfg = SolverConfig()
+    spec, problem = _make_problem(M, N_SAMPLES, dtype, seed=117)
+    ops = build_operators(M, spec.deltas, cfg, dtype)
+    lam = jnp.asarray(LAM, dtype)
+    state0 = initial_state(ops, problem, rho0=lam / 5.0)
+
+    run = jax.jit(
+        lambda st, k: admm_fixed_iterations(ops, problem, lam, st, cfg, k),
+        static_argnames="k",
+    )
+    # Warm up: compile + let CG iteration counts settle to steady state.
+    state = run(state0, 20)
+    jax.block_until_ready(state.theta)
+
+    t0 = time.perf_counter()
+    state = run(state, BENCH_ITERS)
+    jax.block_until_ready(state.theta)
+    dt = time.perf_counter() - t0
+    iters_per_s = BENCH_ITERS / dt
+    cg_per_iter = float(state.cg_iters) / float(state.counter)
+    return iters_per_s, dt, cg_per_iter
+
+
+def measure_reference_baseline(budget_s: float = 120.0):
+    """Single-core SuperLU factorize+solve per ADMM iteration at 512^2
+    (the reference's per-iteration cost, solvers.cpp:110-126)."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        try:  # restrict BLAS threading to one core for a fair single-core ref
+            from threadpoolctl import threadpool_limits
+            ctx = threadpool_limits(limits=1)
+        except Exception:
+            ctx = None
+        m1, m2 = M
+        # O'O diag from the same sample distribution
+        rng = np.random.RandomState(117)
+        counts = np.bincount(
+            rng.randint(0, m1 * m2, size=N_SAMPLES), minlength=m1 * m2
+        ).astype(np.float64)
+        d1 = sp.diags([[-1.0] * (m1 - 1), [1.0] * (m1 - 1)], [0, 1],
+                      shape=(m1 - 1, m1))
+        d2 = sp.diags([[-1.0] * (m2 - 1), [1.0] * (m2 - 1)], [0, 1],
+                      shape=(m2 - 1, m2))
+        I1, I2 = sp.identity(m1), sp.identity(m2)
+        delta = 2.0 / m1
+        blocks = [
+            sp.kron(d1, d2),                 # mixed partial
+            delta * sp.kron(I1, d2),         # d/dx2
+            delta * sp.kron(d1, I2),         # d/dx1
+        ]
+        D = sp.vstack(blocks).tocsr()
+        A = (sp.diags(counts) + 0.01 * (D.T @ D)).tocsc()
+        b = rng.randn(m1 * m2)
+        t0 = time.perf_counter()
+        lu = spla.splu(A)          # per-iteration refactorization
+        x = lu.solve(b)
+        _ = D @ x                  # the per-iteration sparse matvecs
+        _ = D.T @ (D @ x)
+        dt = time.perf_counter() - t0
+        return 1.0 / dt
+    except Exception as e:
+        print(f"# baseline measurement failed ({e}); using fallback",
+              file=sys.stderr)
+        return FALLBACK_BASELINE_ITERS_PER_S
+
+
+def main():
+    iters_per_s, dt, cg_per_iter = measure_tpu_iters_per_s()
+    baseline = measure_reference_baseline()
+    print(f"# tpu: {iters_per_s:.1f} ADMM iters/s over {BENCH_ITERS} iters "
+          f"({dt:.2f}s wall, {cg_per_iter:.1f} CG steps/iter)",
+          file=sys.stderr)
+    print(f"# reference proxy (SuperLU single-core): {baseline:.3f} iters/s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "admm_iterations_per_s_512x512_per_chip",
+        "value": round(iters_per_s, 2),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

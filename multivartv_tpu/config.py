@@ -1,0 +1,118 @@
+"""Configuration dataclasses for the MultivarTV-TPU solver stack.
+
+The reference exposes its knobs as plain function arguments plus
+compile-time constants (EPS=1e-4 in rcpp-code/MultivarTV/src/utils.hpp:14,
+TOL=1e-4 in solvers.hpp:19, max_counter=3000 in solvers.cpp:103).  Here they
+are explicit, hashable config dataclasses so they can be closed over by
+jitted functions as static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Single-lambda ADMM solver configuration.
+
+    Mirrors the reference C++ behavior (the behavioral ground truth):
+      * Boyd primal/dual residual stopping with TOL=1e-4
+        (reference solvers.cpp:110-122).
+      * Adaptive rho: tau=2, rescale when one residual exceeds 10x the
+        other, dual variable rescaled inversely (solvers.cpp:77-94).
+      * Iteration cap 3000 with warn+break (solvers.cpp:103,129-132).
+    """
+
+    tol: float = 1e-4
+    max_iters: int = 3000
+    adapt_rho: bool = True
+    adapt_tau: float = 2.0
+    adapt_band: float = 10.0
+    # x-update linear solve: "dct_pcg" (DCT-preconditioned CG, default),
+    # "jacobi_pcg" (Jacobi-preconditioned CG, works under lattice sharding),
+    # "dct_direct" (exact only when every knot has the same sample count),
+    # "cg" (unpreconditioned).
+    x_solver: str = "dct_pcg"
+    cg_tol: float = 1e-6
+    cg_max_iters: int = 100
+    # Include the all-ones (full mixed partial) difference block.  The
+    # reference C++ includes it (utils.cpp:225-230); the reference Python
+    # drops it when deltas are supplied (code/utils.py:145).
+    include_full_mixed: bool = True
+
+    def __post_init__(self):
+        if self.x_solver not in ("dct_pcg", "jacobi_pcg", "dct_direct", "cg"):
+            raise ValueError(f"unknown x_solver: {self.x_solver!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PathConfig:
+    """Lambda-path configuration.
+
+    The reference builds a decreasing log-spaced grid from lambda_max down
+    to 1e-4*lambda_max (solvers.cpp:186-200) and warm-starts theta/u/rho
+    across the path (solvers.cpp:212-219).
+    """
+
+    n_lambda: int = 100
+    lambda_min_ratio: float = 1e-4
+    # lambda_max estimate = scale * ||D (D'D)^+ O'y||_inf.
+    # The C++ uses scale=5 (utils.cpp:354); the Python prototype instead
+    # multiplies by prod(deltas) (code/solvers.py:116) -> mode "py".
+    lam_max_mode: str = "cpp"
+    lam_max_scale: float = 5.0
+    # What to record along the path: "fitted" keeps per-lambda fitted values
+    # and theta_hat (reference keeps full models, solvers.cpp:292-302);
+    # "mse" keeps only per-lambda MSEs (cheap for huge meshes).
+    store: str = "fitted"
+    warm_start: bool = True
+
+    def __post_init__(self):
+        if self.lam_max_mode not in ("cpp", "py"):
+            raise ValueError(f"unknown lam_max_mode: {self.lam_max_mode!r}")
+        if self.store not in ("fitted", "mse"):
+            raise ValueError(f"unknown store: {self.store!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class CVConfig:
+    """K-fold cross-validation configuration.
+
+    The reference shuffles fold labels i mod k (utils.cpp:367-376), solves
+    the warm-started path per fold on the train split, evaluates held-out
+    MSE per lambda, and refits the full data at the mean-CV-MSE-minimizing
+    lambda (solvers.cpp:305-376).
+    """
+
+    folds: int = 5
+    seed: int = 123
+    # Solve all folds simultaneously as a batch axis (vmap) instead of a
+    # Python loop.  Identical math; far better utilization.
+    vmap_folds: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Mesh-generation configuration.
+
+    eps: domain padding.  The reference C++ uses 1e-4 (utils.hpp:14), the
+    Python prototype 0.01 (code/utils.py:183).
+    delta_mode: per-axis delta (TV cell size) divisor.  The C++ computes
+    (range+2*eps)/m (utils.cpp:260); the Python prototype uses the knot
+    spacing (range+2*eps)/(m-1) (code/utils.py:187).
+    """
+
+    eps: float = 1e-4
+    delta_mode: str = "cpp"
+
+    def __post_init__(self):
+        if self.delta_mode not in ("cpp", "py"):
+            raise ValueError(f"unknown delta_mode: {self.delta_mode!r}")
+
+
+DEFAULT_SOLVER = SolverConfig()
+DEFAULT_PATH = PathConfig()
+DEFAULT_CV = CVConfig()
+DEFAULT_MESH = MeshConfig()

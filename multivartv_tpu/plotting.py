@@ -1,0 +1,149 @@
+"""Visualization: fitted curves/surfaces and residual diagnostics.
+
+Capability parity with the reference's plotting layers:
+  * plot.mvtv 1-D line plot and 2-D surface (MultivarTV.R:90-146),
+    including inter-lambda interpolation of fits (MultivarTV.R:103-114);
+  * plotResiduals with a smoothed trend line (MultivarTV.R:69-79);
+  * the Python 3-D wireframe/surface demo (code/plottv.py:10-59).
+
+Matplotlib only; all functions return the figure so callers can save/show.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def _require_mpl():
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    return plt
+
+
+def _model_at_lambda(model, lam: Optional[float]):
+    """Pick (theta_flat_ref, fitted) at a lambda, interpolating between the
+    two neighboring path entries like plot.mvtv (MultivarTV.R:103-114)."""
+    if lam is None:
+        return model.theta_hat, model.fitted
+    lams = np.asarray(model.lambdas)  # descending
+    entries = model.models
+    if not entries or "theta_hat" not in entries[0]:
+        return model.theta_hat, model.fitted
+    if lam >= lams[0]:
+        e = entries[0]
+        return e["theta_hat"], e["fitted"]
+    if lam <= lams[-1]:
+        e = entries[-1]
+        return e["theta_hat"], e["fitted"]
+    hi = int(np.searchsorted(-lams, -lam, side="left"))
+    lo = hi - 1
+    if np.isclose(lams[hi], lam):
+        e = entries[hi]
+        return e["theta_hat"], e["fitted"]
+    th = 0.5 * (entries[lo]["theta_hat"] + entries[hi]["theta_hat"])
+    ft = 0.5 * (entries[lo]["fitted"] + entries[hi]["fitted"])
+    return th, ft
+
+
+def plot_model(model, lam: Optional[float] = None, addmesh: bool = False,
+               adddata: bool = True, grid_mult: int = 3, save: Optional[str] = None):
+    """1-D step-function plot or 2-D fitted surface (plot.mvtv)."""
+    plt = _require_mpl()
+    p = model.data.shape[1]
+    theta_flat, _ = _model_at_lambda(model, lam)
+    from multivartv_tpu import mesh as mesh_lib
+    from multivartv_tpu.ops import interp as interp_ops
+    import jax.numpy as jnp
+    theta_lat = np.asarray(
+        mesh_lib.unflatten_ref_order(jnp.asarray(theta_flat), model.m))
+
+    if p == 1:
+        fig, ax = plt.subplots(figsize=(7, 4.5))
+        xs = np.linspace(model.mesh[:, 0].min(), model.mesh[:, 0].max(),
+                         max(len(model.y) * 10, 500))
+        idx = interp_ops.flat_knot_indices(model.mesh_spec, jnp.asarray(xs[:, None]))
+        fit = np.asarray(interp_ops.gather_fitted(jnp.asarray(theta_lat), idx))
+        ax.plot(xs, fit, lw=2, label="fitted")
+        if adddata:
+            ax.plot(model.data[:, 0], model.y, ".", ms=3, alpha=0.6, label="data")
+        if addmesh:
+            knots = np.asarray(model.mesh_spec.knots[0])
+            mids = knots[:-1] + np.diff(knots) / 2
+            for v in mids:
+                ax.axvline(v, color="grey", lw=0.5, ls="--", alpha=0.5)
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        ax.legend()
+    elif p == 2:
+        from mpl_toolkits.mplot3d import Axes3D  # noqa: F401
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        new_m = int(np.floor(np.sqrt(len(model.y)))) * grid_mult
+        x1 = np.linspace(model.mesh[:, 0].min(), model.mesh[:, 0].max(), new_m)
+        x2 = np.linspace(model.mesh[:, 1].min(), model.mesh[:, 1].max(), new_m)
+        g1, g2 = np.meshgrid(x1, x2)
+        pts = np.stack([g1.reshape(-1), g2.reshape(-1)], 1)
+        idx = interp_ops.flat_knot_indices(model.mesh_spec, jnp.asarray(pts))
+        z = np.asarray(interp_ops.gather_fitted(jnp.asarray(theta_lat), idx))
+        z = z.reshape(new_m, new_m)
+        ax.plot_surface(g1, g2, z, cmap="viridis", alpha=0.85)
+        if adddata:
+            ax.scatter(model.data[:, 0], model.data[:, 1], model.y,
+                       s=3, c="k", alpha=0.4)
+        ax.set_xlabel("x1")
+        ax.set_ylabel("x2")
+        ax.set_zlabel("y")
+    else:
+        raise ValueError(
+            "Only univariate and bivariate plotting supported.")  # MultivarTV.R:144
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def _moving_average_smooth(x_sorted, y_sorted, frac=0.3):
+    """Lightweight loess stand-in: centered moving average over a fraction
+    of the data (the reference uses R's loess, MultivarTV.R:74)."""
+    n = len(x_sorted)
+    w = max(3, int(frac * n) | 1)
+    pad = w // 2
+    ypad = np.pad(y_sorted, pad, mode="edge")
+    kernel = np.ones(w) / w
+    return np.convolve(ypad, kernel, mode="valid")
+
+
+def plot_residuals(model, save: Optional[str] = None):
+    """Residuals vs fitted with a smoothed trend (plotResiduals)."""
+    plt = _require_mpl()
+    order = np.argsort(model.fitted)
+    fit_srt = model.fitted[order]
+    res_srt = model.residuals[order]
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.plot(fit_srt, res_srt, "o", ms=3, alpha=0.5)
+    ax.plot(fit_srt, _moving_average_smooth(fit_srt, res_srt), lw=1.5)
+    ax.axhline(0.0, ls="--", lw=1, color="k")
+    ax.set_xlabel("Fitted")
+    ax.set_ylabel("Residuals")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_cv_curve(model, save: Optional[str] = None):
+    """CV-MSE vs lambda with minmse and 1se markers (framework addition)."""
+    plt = _require_mpl()
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    ax.semilogx(model.lambdas, model.cv_mses, "-o", ms=3)
+    ax.axvline(model.lambda_minmse, color="tab:green", ls="--", lw=1,
+               label="lambda.minmse")
+    ax.axvline(model.lambda_1se, color="tab:orange", ls="--", lw=1,
+               label="lambda.1se")
+    ax.set_xlabel("lambda")
+    ax.set_ylabel("CV MSE")
+    ax.legend()
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig

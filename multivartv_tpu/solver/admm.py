@@ -1,0 +1,177 @@
+"""Single-lambda ADMM core as one jitted lax.while_loop.
+
+Mirrors the reference C++ admm_update (rcpp-code .../solvers.cpp:96-136):
+Boyd relative primal/dual residual stopping (solvers.cpp:110,119-122),
+adaptive rho with tau=2 and a 10x residual band with inverse dual rescaling
+(adapt_step, solvers.cpp:77-94), iteration cap 3000 (solvers.cpp:103).
+
+Everything is device-resident — predicates, norms, rho — so the loop runs
+without host synchronization.  Under vmap (CV folds / scenario batches) the
+loop continues until the slowest element converges; converged elements keep
+taking well-defined ADMM steps, which only polishes them further (all
+updates are fixed-point at the solution within CG tolerance).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.ops.prox import soft_threshold_blocks
+from multivartv_tpu.solver.problem import Operators, Problem
+from multivartv_tpu.solver.xupdate import solve_x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ADMMState:
+    theta: jax.Array
+    alpha: Tuple[jax.Array, ...]
+    u: Tuple[jax.Array, ...]
+    rho: jax.Array
+    counter: jax.Array
+    primal_norm: jax.Array
+    dual_norm: jax.Array
+    eps_primal: jax.Array
+    eps_dual: jax.Array
+    cg_iters: jax.Array
+
+
+def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
+                  theta0: jax.Array | None = None,
+                  u0: Tuple[jax.Array, ...] | None = None) -> ADMMState:
+    """theta filled with mean(y), u zero, alpha = D theta (reference
+    mbs_path inits, solvers.cpp:207-209; admm_update alpha init,
+    solvers.cpp:101)."""
+    dtype = problem.oty.dtype
+    if theta0 is None:
+        theta0 = jnp.full(ops.m, problem.ybar, dtype)
+    if u0 is None:
+        u0 = diff_ops.zeros_like_blocks(ops.m, ops.binaries, dtype)
+    one = jnp.ones((), dtype)
+    return ADMMState(
+        theta=theta0,
+        alpha=ops.apply_D(theta0),
+        u=u0,
+        rho=jnp.asarray(rho0, dtype),
+        counter=jnp.zeros((), jnp.int32),
+        primal_norm=one,
+        dual_norm=one,
+        eps_primal=one * 0.0,
+        eps_dual=one * 0.0,
+        cg_iters=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
+                        cfg: SolverConfig):
+    """Build the single-iteration ADMM update (the while_loop body).
+
+    Exposed separately so callers can take exactly one step (profiling,
+    benchmarks, the __graft_entry__ forward step) with identical semantics
+    to the converging loop.
+    """
+    dtype = problem.oty.dtype
+    lam = jnp.asarray(lam, dtype)
+    tol = jnp.asarray(cfg.tol, dtype)
+    sqrt_ntheta = jnp.asarray(math.sqrt(ops.ntheta), dtype)
+    sqrt_rowsd = jnp.asarray(math.sqrt(ops.rows_d), dtype)
+    cbar = jnp.sum(problem.counts) / ops.ntheta
+
+    def body(s: ADMMState) -> ADMMState:
+        uold = s.u
+        # x-update: b = O'y + rho D'(alpha + u)
+        au = tuple(a + w for a, w in zip(s.alpha, s.u))
+        b = problem.oty + s.rho * ops.apply_Dt(au)
+        theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta, cfg)
+        # z-update (prox) and dual update
+        d_theta = ops.apply_D(theta)
+        alpha = soft_threshold_blocks(
+            tuple(dt - w for dt, w in zip(d_theta, s.u)), lam / s.rho
+        )
+        primal_res = tuple(a - dt for a, dt in zip(alpha, d_theta))
+        u = tuple(w + r for w, r in zip(s.u, primal_res))
+        dual_res = s.rho * ops.apply_Dt(tuple(a - c for a, c in zip(u, uold)))
+        # Boyd norms and thresholds (solvers.cpp:119-122)
+        primal_norm = jnp.sqrt(diff_ops.blocks_norm_sq(primal_res))
+        dual_norm = jnp.sqrt(jnp.sum(jnp.square(dual_res)))
+        dtu_norm = jnp.sqrt(jnp.sum(jnp.square(ops.apply_Dt(u))))
+        eps_dual = tol * (sqrt_ntheta + dtu_norm)
+        d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(d_theta))
+        alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(alpha))
+        eps_primal = tol * (sqrt_rowsd + jnp.maximum(d_theta_norm, alpha_norm))
+        # Adaptive rho (adapt_step, solvers.cpp:77-94)
+        rho = s.rho
+        if cfg.adapt_rho:
+            tau = jnp.asarray(cfg.adapt_tau, dtype)
+            band = jnp.asarray(cfg.adapt_band, dtype)
+            grow = primal_norm > band * dual_norm
+            shrink = dual_norm > band * primal_norm
+            factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
+            rho = rho * factor
+            u = tuple(w / factor for w in u)
+        return ADMMState(
+            theta=theta,
+            alpha=alpha,
+            u=u,
+            rho=rho,
+            counter=s.counter + 1,
+            primal_norm=primal_norm,
+            dual_norm=dual_norm,
+            eps_primal=eps_primal,
+            eps_dual=eps_dual,
+            cg_iters=s.cg_iters + cg_it,
+        )
+
+    return body
+
+
+def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
+               state: ADMMState, cfg: SolverConfig) -> ADMMState:
+    """Run ADMM at a single lambda until Boyd convergence or the cap."""
+    body = make_admm_iteration(ops, problem, lam, cfg)
+
+    def cond(s: ADMMState):
+        not_done = jnp.logical_or(
+            s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal
+        )
+        # First iteration always runs (C++ seeds norms=1, eps=TOL).
+        return jnp.logical_and(not_done, s.counter < cfg.max_iters)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
+                          state: ADMMState, cfg: SolverConfig,
+                          n_iters: int) -> ADMMState:
+    """Run exactly n_iters ADMM iterations (benchmarking / profiling)."""
+    body = make_admm_iteration(ops, problem, lam, cfg)
+    return jax.lax.fori_loop(0, n_iters, lambda _, s: body(s), state)
+
+
+def objective(ops: Operators, problem: Problem, theta: jax.Array) -> jax.Array:
+    """0.5 ||y - O theta||^2 + lambda ||D theta||_1 needs lambda; this
+    returns the pair (fidelity, penalty) so callers can weight.
+
+    The reference's implicit objective (from its x-update normal equations,
+    solvers.cpp:112-114) is 0.5||y - O theta||^2 + lambda ||D theta||_1.
+    Using the identity ||y - O theta||^2 =
+    sum_i y_i^2 - 2 <O'y, theta> + <counts, theta^2>, computable without
+    touching per-sample arrays.
+    """
+    w = problem.train_mask
+    y = problem.y if w is None else problem.y * w
+    ysq = jnp.sum(problem.y * y)
+    fid = 0.5 * (
+        ysq
+        - 2.0 * jnp.sum(problem.oty * theta)
+        + jnp.sum(problem.counts * jnp.square(theta))
+    )
+    pen = diff_ops.blocks_abs_sum(ops.apply_D(theta))
+    return fid, pen

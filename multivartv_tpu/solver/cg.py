@@ -1,0 +1,72 @@
+"""Matrix-free preconditioned conjugate gradient.
+
+The reference's only iterative solver is a CGLS-flavored CG used to
+estimate lambda_max (cg, rcpp-code .../utils.cpp:306-340).  Here PCG is the
+workhorse of the ADMM x-update: the operator is the fused lattice stencil
+c * theta + rho * D'D theta, and the preconditioner is either the exact DCT
+solve of the mean-count system or the Jacobi diagonal.  Everything is
+jnp on lattice-shaped arrays, so it jits, vmaps over batch axes, and runs
+under pjit sharding (dot products lower to psum collectives automatically).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    residual_sq: jax.Array
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.sum(a * b)
+
+
+def pcg(matvec: Callable[[jax.Array], jax.Array],
+        b: jax.Array,
+        x0: jax.Array,
+        precond: Optional[Callable[[jax.Array], jax.Array]] = None,
+        tol: float = 1e-6,
+        max_iters: int = 100) -> CGResult:
+    """Solve A x = b (A SPD) with preconditioned CG, warm-started at x0.
+
+    Stops when ||r||^2 <= tol^2 * ||b||^2 or at max_iters.  Division guards
+    make the fixed-point iteration safe once converged (important under
+    vmap, where all batch elements iterate until the slowest converges).
+    """
+    if precond is None:
+        precond = lambda v: v
+
+    eps = jnp.asarray(1e-30, b.dtype)
+    b_sq = _dot(b, b)
+    stop_sq = (tol * tol) * b_sq
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    rz0 = _dot(r0, z0)
+
+    def cond(state):
+        x, r, z, p, rz, it = state
+        return jnp.logical_and(_dot(r, r) > stop_sq, it < max_iters)
+
+    def body(state):
+        x, r, z, p, rz, it = state
+        ap = matvec(p)
+        denom = _dot(p, ap)
+        alpha = rz / jnp.maximum(denom, eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = _dot(r, z)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1)
+
+    init = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, init)
+    return CGResult(x=x, iters=it, residual_sq=_dot(r, r))

@@ -1,0 +1,142 @@
+"""Lambda-max estimation and the warm-started lambda path.
+
+Reference semantics:
+  * lambda_max = 5 * ||D (D'D)^+ O'y||_inf in C++ (lam_max_pinv,
+    utils.cpp:351-355, with the pinv approximated by truncated CG); the
+    Python prototype returns ||.||_inf * prod(deltas) without the factor 5
+    (code/solvers.py:116, code/utils.py:206-209).  Here the pinv is *exact*
+    via the DCT diagonalization of D'D (ops/dct.py) — no CG.
+  * Grid: n_lambda log-spaced values from 1e-4*lambda_max to lambda_max,
+    descending (create_lambdas, solvers.cpp:186-200).
+  * Path: warm-start theta/u/rho across lambdas, rho_init = lambdas[0]/5
+    (mbs_path, solvers.cpp:204-222).  Here the path is a lax.scan whose
+    carry is the ADMM state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multivartv_tpu.config import PathConfig, SolverConfig
+from multivartv_tpu.ops import dct as dct_ops
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.ops.interp import gather_fitted
+from multivartv_tpu.solver.admm import ADMMState, admm_solve, initial_state
+from multivartv_tpu.solver.problem import Operators, Problem
+
+
+def lam_max(ops: Operators, problem: Problem, pcfg: PathConfig,
+            deltas: Optional[jax.Array] = None) -> jax.Array:
+    """Exact lambda_max estimate ||D (D'D)^+ O'y||_inf times the mode's
+    scale ("cpp": x5, utils.cpp:354; "py": x prod(deltas),
+    code/solvers.py:116)."""
+    if ops.gram_eigs is not None:
+        eigs = ops.gram_eigs
+    else:
+        # x_solver that doesn't keep DCT eigenvalues still gets an exact
+        # lambda_max via a one-off eigenvalue build on the same lattice.
+        raise ValueError("lam_max requires operators built with DCT eigenvalues")
+    pinv_oty = dct_ops.gram_pinv_apply(problem.oty, eigs)
+    tune = diff_ops.blocks_abs_max(ops.apply_D(pinv_oty))
+    if pcfg.lam_max_mode == "cpp":
+        return pcfg.lam_max_scale * tune
+    if deltas is None:
+        raise ValueError("lam_max_mode='py' needs deltas")
+    return tune * jnp.prod(deltas)
+
+
+def create_lambdas(lambda_max: jax.Array, pcfg: PathConfig) -> jax.Array:
+    """Descending log grid (create_lambdas, solvers.cpp:191)."""
+    lo = jnp.log(lambda_max * pcfg.lambda_min_ratio)
+    hi = jnp.log(lambda_max)
+    return jnp.exp(jnp.linspace(lo, hi, pcfg.n_lambda))[::-1]
+
+
+class PathResult(NamedTuple):
+    """Per-lambda outputs of a path solve (leading axis = lambda)."""
+
+    lambdas: jax.Array
+    train_mse: jax.Array       # MSE of fitted vs ftrue over train samples
+    test_mse: jax.Array        # MSE over held-out samples (0 if no test set)
+    iters: jax.Array           # ADMM iterations per lambda
+    cg_iters: jax.Array        # total CG iterations per lambda
+    thetas: Optional[jax.Array]    # (n_lambda, *m) if stored
+    fitted: Optional[jax.Array]    # (n_lambda, n) if stored
+    final_state: ADMMState
+
+
+def _masked_mse(fits: jax.Array, target: jax.Array,
+                mask: Optional[jax.Array]) -> jax.Array:
+    if mask is None:
+        return jnp.mean(jnp.square(fits - target))
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(jnp.square(fits - target) * mask) / denom
+
+
+def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
+               cfg: SolverConfig, pcfg: PathConfig,
+               ftrue: Optional[jax.Array] = None) -> PathResult:
+    """Warm-started lambda path as a lax.scan.
+
+    ftrue: per-sample prediction target for the train MSE (reference
+    gen_ftrue, solvers.cpp:248-257; defaults to y).
+    Held-out MSE (reference test_mse, solvers.cpp:278-288) is computed per
+    lambda against samples where train_mask == 0.
+    """
+    if ftrue is None:
+        ftrue = problem.y
+    ftrue = jnp.asarray(ftrue, problem.y.dtype).reshape(-1)
+    train_mask = problem.train_mask
+    test_mask = None if train_mask is None else (1.0 - train_mask)
+
+    rho0 = lambdas[0] / 5.0
+    state0 = initial_state(ops, problem, rho0)
+
+    store_theta = pcfg.store == "fitted"
+
+    def step(state: ADMMState, lam):
+        state = admm_solve(ops, problem, lam, state, cfg)
+        fits = gather_fitted(state.theta, problem.flat_idx)
+        train_mse = _masked_mse(fits, ftrue, train_mask)
+        test_mse = (
+            _masked_mse(fits, problem.y, test_mask)
+            if test_mask is not None else jnp.zeros((), fits.dtype)
+        )
+        out = dict(
+            train_mse=train_mse,
+            test_mse=test_mse,
+            iters=state.counter,
+            cg_iters=state.cg_iters,
+        )
+        if store_theta:
+            out["theta"] = state.theta
+            out["fitted"] = fits
+        # Reset counters for the next lambda; keep theta/u/rho as warm start.
+        carry = dataclasses.replace(
+            state,
+            counter=jnp.zeros((), jnp.int32),
+            cg_iters=jnp.zeros((), jnp.int32),
+            primal_norm=jnp.ones((), fits.dtype),
+            dual_norm=jnp.ones((), fits.dtype),
+            eps_primal=jnp.zeros((), fits.dtype),
+            eps_dual=jnp.zeros((), fits.dtype),
+        )
+        if not pcfg.warm_start:
+            carry = initial_state(ops, problem, rho0)
+        return carry, out
+
+    final_state, outs = jax.lax.scan(step, state0, lambdas)
+    return PathResult(
+        lambdas=lambdas,
+        train_mse=outs["train_mse"],
+        test_mse=outs["test_mse"],
+        iters=outs["iters"],
+        cg_iters=outs["cg_iters"],
+        thetas=outs.get("theta"),
+        fitted=outs.get("fitted"),
+        final_state=final_state,
+    )

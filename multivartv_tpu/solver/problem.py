@@ -1,0 +1,123 @@
+"""Problem and operator containers (pytrees) for the ADMM solver.
+
+The reference caches O, O', D, D', O'O, D'D, O'y and the assembled system
+matrix across lambdas/folds (mbs_cache, rcpp-code .../solvers.hpp:30-50;
+Python cache list, code/solvers.py:41-51).  Matrix-free on a lattice, the
+only data-dependent cached objects are:
+
+    counts = diag(O'O)  (per-knot sample counts, shape m)
+    oty    = O'y        (scatter-add of y, shape m)
+
+plus the spectral objects of D'D (eigenvalues on the DCT basis, Jacobi
+diagonal) which depend only on (m, deltas).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.mesh import MeshSpec
+from multivartv_tpu.ops import dct as dct_ops
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.ops import interp as interp_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Operators:
+    """Static/spectral description of D and the x-update system for a
+    lattice of dims m with TV cell sizes deltas."""
+
+    binaries: Tuple[Tuple[int, ...], ...] = dataclasses.field(metadata=dict(static=True))
+    m: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    scales: Tuple[jax.Array, ...] = dataclasses.field(default=())
+    gram_eigs: Optional[jax.Array] = None   # DCT eigenvalues of D'D, shape m
+    gram_diagonal: Optional[jax.Array] = None  # diag(D'D), shape m
+
+    @property
+    def ntheta(self) -> int:
+        return int(np.prod(self.m))
+
+    @property
+    def rows_d(self) -> int:
+        return diff_ops.num_rows(self.m, self.binaries)
+
+    def apply_D(self, theta):
+        return diff_ops.apply_D(theta, self.binaries, self.scales)
+
+    def apply_Dt(self, blocks):
+        return diff_ops.apply_Dt(blocks, self.binaries, self.scales)
+
+    def apply_gram(self, theta):
+        return diff_ops.apply_gram(theta, self.binaries, self.scales)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """One denoising problem (or one fold of one), ready for the solver.
+
+    counts/oty may carry leading batch axes (folds, scenarios) — every
+    solver op broadcasts or is vmapped over them.
+    """
+
+    counts: jax.Array    # (m) diag(O'O)
+    oty: jax.Array       # (m) O'y
+    ybar: jax.Array      # scalar mean of (train) y — theta init value
+    flat_idx: jax.Array  # (n,) per-sample nearest-knot flat index (C order)
+    y: jax.Array         # (n,) responses
+    train_mask: Optional[jax.Array] = None  # (n,) 0/1; None = all train
+
+
+def build_operators(m: Sequence[int], deltas: jax.Array,
+                    cfg: SolverConfig, dtype=jnp.float32) -> Operators:
+    binaries = diff_ops.fd_binaries(len(tuple(m)), cfg.include_full_mixed)
+    scales = diff_ops.delta_scales(binaries, deltas)
+    need_dct = cfg.x_solver in ("dct_pcg", "dct_direct")
+    gram_eigs = (
+        dct_ops.gram_eigenvalues(m, deltas, cfg.include_full_mixed, dtype)
+        if need_dct else None
+    )
+    gram_diagonal = (
+        diff_ops.gram_diag(m, binaries, scales, dtype)
+        if cfg.x_solver == "jacobi_pcg" else None
+    )
+    return Operators(
+        binaries=binaries,
+        m=tuple(int(v) for v in m),
+        scales=tuple(scales),
+        gram_eigs=gram_eigs,
+        gram_diagonal=gram_diagonal,
+    )
+
+
+def build_problem(spec: MeshSpec, data, y, train_mask=None,
+                  dtype=jnp.float32) -> Problem:
+    """Bin data to the lattice and precompute the O-side cached objects."""
+    y = jnp.asarray(y, dtype).reshape(-1)
+    flat_idx = interp_ops.flat_knot_indices(spec, data)
+    if train_mask is None:
+        w = None
+        ybar = jnp.mean(y)
+        wy = y
+    else:
+        train_mask = jnp.asarray(train_mask, dtype)
+        w = train_mask
+        ybar = jnp.sum(y * train_mask) / jnp.maximum(jnp.sum(train_mask), 1.0)
+        wy = y * train_mask
+    counts = interp_ops.knot_counts(flat_idx, spec.m, weights=w, dtype=dtype)
+    oty = interp_ops.scatter_to_lattice(wy, flat_idx, spec.m)
+    return Problem(
+        counts=counts,
+        oty=oty,
+        ybar=ybar,
+        flat_idx=flat_idx,
+        y=y,
+        train_mask=train_mask,
+    )

@@ -1,0 +1,62 @@
+"""The ADMM x-update: solve (diag(counts) + rho D'D) theta = b.
+
+The reference refactorizes and direct-solves this system with SuperLU
+inside *every* ADMM iteration because adaptive rho changes the matrix
+(solvers.cpp:113,126), or factorizes once per lambda in the Python
+prototype (code/solvers.py:133).  Matrix-free, a rho change costs nothing;
+the solve strategies are:
+
+  dct_pcg    — CG preconditioned by the exact DCT solve of
+               (mean(counts) I + rho D'D): spectrally tight since the
+               perturbation diag(counts - mean) is bounded.  Default.
+  jacobi_pcg — CG preconditioned by 1/(counts + rho diag(D'D)); works
+               when the lattice is sharded (no global DCT needed).
+  dct_direct — single DCT solve treating counts as its mean; exact only
+               for equal-count lattices (e.g. the fused-lasso case m = n,
+               mesh = x of the vignette, MultivarTV-intro.Rmd:111-118).
+  cg         — unpreconditioned CG (baseline for benchmarks).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.ops import dct as dct_ops
+from multivartv_tpu.solver.cg import pcg
+from multivartv_tpu.solver.problem import Operators, Problem
+
+
+def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
+            b: jax.Array, rho: jax.Array, x0: jax.Array,
+            cfg: SolverConfig) -> Tuple[jax.Array, jax.Array]:
+    """Returns (theta, cg_iters)."""
+
+    def matvec(v):
+        return counts * v + rho * ops.apply_gram(v)
+
+    if cfg.x_solver == "dct_direct":
+        x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs)
+        return x, jnp.zeros((), jnp.int32)
+
+    if cfg.x_solver == "dct_pcg":
+        eigs = ops.gram_eigs
+
+        def precond(r):
+            return dct_ops.idctn(dct_ops.dctn(r) / (cbar + rho * eigs))
+
+    elif cfg.x_solver == "jacobi_pcg":
+        inv_diag = 1.0 / (counts + rho * ops.gram_diagonal + 1e-30)
+
+        def precond(r):
+            return inv_diag * r
+
+    else:  # "cg"
+        precond = None
+
+    res = pcg(matvec, b, x0, precond=precond,
+              tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
+    return res.x, res.iters

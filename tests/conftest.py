@@ -1,0 +1,25 @@
+"""Test harness: force the CPU backend with 8 virtual devices.
+
+The axon sitecustomize registers the TPU backend unconditionally, so the
+JAX_PLATFORMS env var alone is not enough — jax.config must be updated
+before any computation.  Sharding tests then run on a virtual 8-device
+mesh, mirroring how the driver dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(117)

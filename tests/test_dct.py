@@ -1,0 +1,74 @@
+"""DCT diagonalization tests: the spectral identities that replace the
+reference's sparse direct solves."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.ops import dct, diff
+
+
+@pytest.mark.parametrize("m,deltas", [
+    ((8,), [0.5]),
+    ((6, 5), [0.7, 1.1]),
+    ((4, 3, 5), [0.9, 1.3, 0.4]),
+])
+def test_gram_diagonalization(m, deltas, rng):
+    """dctn(D'D x) == Lambda * dctn(x) for random x — exact identity."""
+    bins = diff.fd_binaries(len(m))
+    d = jnp.asarray(deltas)
+    scales = diff.delta_scales(bins, d)
+    eigs = dct.gram_eigenvalues(m, d)
+    x = jnp.asarray(rng.randn(*m).astype(np.float32))
+    lhs = dct.dctn(diff.apply_gram(x, bins, scales))
+    rhs = eigs * dct.dctn(x)
+    assert np.allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_gram_diagonalization_python_blockset(rng):
+    m = (6, 5)
+    bins = diff.fd_binaries(2, include_full_mixed=False)
+    d = jnp.asarray([0.7, 1.1])
+    scales = diff.delta_scales(bins, d)
+    eigs = dct.gram_eigenvalues(m, d, include_full_mixed=False)
+    x = jnp.asarray(rng.randn(*m).astype(np.float32))
+    lhs = dct.dctn(diff.apply_gram(x, bins, scales))
+    rhs = eigs * dct.dctn(x)
+    assert np.allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
+
+
+def test_zero_mode():
+    eigs = dct.gram_eigenvalues((5, 4), jnp.asarray([1.0, 2.0]))
+    assert abs(float(eigs[0, 0])) < 1e-6
+    assert float(jnp.min(eigs)) > -1e-6
+
+
+def test_shifted_solve_exact(rng):
+    m = (6, 4)
+    bins = diff.fd_binaries(2)
+    d = jnp.asarray([0.8, 1.2])
+    scales = diff.delta_scales(bins, d)
+    eigs = dct.gram_eigenvalues(m, d)
+    b = jnp.asarray(rng.randn(*m).astype(np.float32))
+    c = jnp.asarray(2.5, jnp.float32)
+    rho = jnp.asarray(0.7, jnp.float32)
+    x = dct.shifted_solve(b, c, rho, eigs)
+    # Verify (c I + rho D'D) x == b.
+    back = c * x + rho * diff.apply_gram(x, bins, scales)
+    assert np.allclose(np.asarray(back), np.asarray(b), atol=1e-4)
+
+
+def test_gram_pinv_is_projection(rng):
+    m = (5, 7)
+    bins = diff.fd_binaries(2)
+    d = jnp.asarray([1.1, 0.6])
+    scales = diff.delta_scales(bins, d)
+    eigs = dct.gram_eigenvalues(m, d)
+    b = jnp.asarray(rng.randn(*m).astype(np.float32))
+    x = dct.gram_pinv_apply(b, eigs)
+    # D'D x should equal b minus its mean (projection off the nullspace).
+    back = diff.apply_gram(x, bins, scales)
+    want = np.asarray(b) - np.asarray(b).mean()
+    assert np.allclose(np.asarray(back), want, atol=1e-3)
+    # And x itself is mean-free (pinv range).
+    assert abs(float(jnp.mean(x))) < 1e-4

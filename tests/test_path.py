@@ -1,0 +1,88 @@
+"""Lambda-path tests: warm-start scan semantics and golden parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import golden
+from multivartv_tpu import mesh as mesh_lib
+from multivartv_tpu.config import PathConfig, SolverConfig
+from multivartv_tpu.solver import path as path_lib
+from multivartv_tpu.solver.problem import build_operators, build_problem
+from test_admm import make_2d_problem
+
+
+def test_path_matches_golden_objectives():
+    data, y, ytrue, spec = make_2d_problem(n=300, m=(5, 5))
+    cfg = SolverConfig()
+    pcfg = PathConfig(n_lambda=8)
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(data, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    flat_idx = np.asarray(problem.flat_idx)
+    deltas = np.asarray(spec.deltas)
+
+    lmax = float(path_lib.lam_max(ops, problem, pcfg, spec.deltas))
+    lambdas = path_lib.create_lambdas(jnp.asarray(lmax), pcfg)
+    res = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg)
+
+    # Golden warm-started path with exact solves.
+    theta0, u0, rho = None, None, float(lambdas[0]) / 5.0
+    for i, lam in enumerate(np.asarray(lambdas)):
+        g = golden.admm_golden(flat_idx, y, spec.m, deltas, float(lam),
+                               rho0=rho, theta0=theta0, u0=u0)
+        theta0, u0, rho = g["theta"], g["u"], g["rho"]
+        ours = np.asarray(res.thetas[i]).reshape(-1)
+        obj_ours = golden.objective(flat_idx, y, spec.m, deltas, ours, float(lam))
+        obj_gold = golden.objective(flat_idx, y, spec.m, deltas, theta0, float(lam))
+        rel = abs(obj_ours - obj_gold) / max(abs(obj_gold), 1e-9)
+        assert rel < 1e-2, f"lambda[{i}]={lam}: rel obj gap {rel}"
+
+
+def test_path_mse_computed_against_ftrue():
+    data, y, ytrue, spec = make_2d_problem(n=300, m=(6, 6))
+    cfg = SolverConfig()
+    pcfg = PathConfig(n_lambda=6)
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(data, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    lmax = path_lib.lam_max(ops, problem, pcfg, spec.deltas)
+    lambdas = path_lib.create_lambdas(lmax, pcfg)
+    res = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg,
+                              ftrue=jnp.asarray(ytrue, jnp.float32))
+    # Smaller lambda should fit ftrue better than lambda_max (which
+    # collapses to the mean) on this structured signal.
+    assert float(res.train_mse[-1]) < float(res.train_mse[0])
+    # Stored fitted values agree with gather of stored thetas.
+    from multivartv_tpu.ops.interp import gather_fitted
+    f3 = gather_fitted(res.thetas[3], problem.flat_idx)
+    assert np.allclose(np.asarray(f3), np.asarray(res.fitted[3]), atol=1e-6)
+
+
+def test_store_mse_mode_skips_thetas():
+    data, y, _, spec = make_2d_problem(n=100, m=(4, 4))
+    cfg = SolverConfig()
+    pcfg = PathConfig(n_lambda=3, store="mse")
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(data, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    lambdas = path_lib.create_lambdas(jnp.asarray(1.0), pcfg)
+    res = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg)
+    assert res.thetas is None and res.fitted is None
+    assert res.train_mse.shape == (3,)
+
+
+def test_warm_start_reduces_iterations():
+    data, y, _, spec = make_2d_problem(n=400, m=(8, 8))
+    cfg = SolverConfig()
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(data, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    pcfg = PathConfig(n_lambda=12, store="mse")
+    lmax = path_lib.lam_max(ops, problem, pcfg, spec.deltas)
+    lambdas = path_lib.create_lambdas(lmax, pcfg)
+    warm = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg)
+    import dataclasses
+    cold = path_lib.solve_path(
+        ops, problem, lambdas, cfg, dataclasses.replace(pcfg, warm_start=False))
+    assert int(jnp.sum(warm.iters)) <= int(jnp.sum(cold.iters))
