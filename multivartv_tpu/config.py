@@ -37,6 +37,9 @@ class SolverConfig:
     x_solver: str = "dct_pcg"
     cg_tol: float = 1e-6
     cg_max_iters: int = 100
+    # When set, the x-update runs exactly this many PCG steps (no
+    # convergence predicate) — deterministic cost, no while-loop overhead.
+    cg_fixed_iters: Optional[int] = None
     # Include the all-ones (full mixed partial) difference block.  The
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).

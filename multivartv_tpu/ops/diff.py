@@ -15,10 +15,18 @@ utils.cpp:173 / code/utils.py:116 — a bug for p >= 3 binaries excluding
 axis 0; the Kronecker form here is the mathematically intended operator and
 coincides with the reference for p <= 2.)
 
-A D block's rows live as a (m - b)-shaped array; "alpha"/"u" ADMM variables
-are tuples of such arrays in the reference's stack order (all-ones block
-first, then binaries 1..2^p-2 in big-endian order — create_D,
-utils.cpp:225-230).
+A D block's mathematical shape is (m - b), but blocks are *stored padded to
+the full lattice shape m* with zeros in the trailing edge along every
+differenced axis.  Rationale (TPU): uniform m-shaped arrays keep the last
+dims 128-lane aligned (a 511x512 intermediate forces relayouts and runs the
+stencil ~50x below HBM roofline), make every ADMM state leaf shard
+identically over a device mesh, and give Pallas kernels one block shape.
+The padding is self-maintaining: soft-threshold maps 0 to 0, the dual
+update adds edge-zero arrays, and the adjoint (roll - id) is exact given
+edge zeros — only the forward diff needs an explicit edge mask.
+"alpha"/"u" ADMM variables are tuples of such arrays in the reference's
+stack order (all-ones block first, then binaries 1..2^p-2 in big-endian
+order — create_D, utils.cpp:225-230).
 """
 
 from __future__ import annotations
@@ -66,44 +74,67 @@ def delta_scales(binaries: Sequence[Binary], deltas: jax.Array) -> Tuple[jax.Arr
 
 
 def block_shape(m: Sequence[int], b: Binary) -> Tuple[int, ...]:
+    """Mathematical (unpadded) shape of a block: m - b elementwise."""
     return tuple(int(mj) - bj for mj, bj in zip(m, b))
 
 
 def num_rows(m: Sequence[int], binaries: Sequence[Binary]) -> int:
-    """Total row count of the stacked D (for Boyd stopping thresholds)."""
+    """Total *mathematical* row count of the stacked D (for Boyd stopping
+    thresholds) — padding zeros are not rows."""
     return int(sum(np.prod(block_shape(m, b)) for b in binaries))
 
 
-def diff_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Forward difference along one axis: shape shrinks by 1 there."""
-    upper = jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis)
-    lower = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)
-    return upper - lower
+def _shift_down(x: jax.Array, axis: int) -> jax.Array:
+    """x[i] <- x[i+1] circularly (wrapped entries land on the masked edge)."""
+    return jnp.roll(x, -1, axis)
 
 
-def adjoint_diff_axis(a: jax.Array, axis: int) -> jax.Array:
-    """Adjoint of diff_axis: (D' a)_i = a_{i-1} - a_i with zero padding."""
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (1, 0)
-    front = jnp.pad(a, pad)
-    pad[axis] = (0, 1)
-    back = jnp.pad(a, pad)
-    return front - back
+def _shift_up(x: jax.Array, axis: int) -> jax.Array:
+    """x[i] <- x[i-1] circularly."""
+    return jnp.roll(x, 1, axis)
 
 
-def apply_block(theta: jax.Array, b: Binary) -> jax.Array:
-    out = theta
+def edge_mask(shape: Sequence[int], b: Binary, dtype=jnp.float32) -> jax.Array:
+    """1 on the valid region of block b, 0 on the padded trailing edge of
+    every differenced axis.  Built as an outer product of per-axis 1-D
+    masks so XLA keeps it fused/broadcast."""
+    shape = tuple(int(v) for v in shape)
+    out = jnp.ones((), dtype)
     for j, bj in enumerate(b):
         if bj:
-            out = diff_axis(out, j)
+            mj = shape[j]
+            mask = jnp.ones((mj,), dtype).at[mj - 1].set(0.0)
+            s = [1] * len(shape)
+            s[j] = mj
+            out = out * mask.reshape(s)
+    if out.ndim == 0:
+        out = jnp.ones(shape, dtype)
     return out
 
 
+def apply_block(theta: jax.Array, b: Binary) -> jax.Array:
+    """Padded forward difference block: chained (shift - id) per differenced
+    axis, then one combined edge mask (wrapped values only pollute rows the
+    mask zeroes)."""
+    out = theta
+    any_diff = False
+    for j, bj in enumerate(b):
+        if bj:
+            out = _shift_down(out, j) - out
+            any_diff = True
+    if not any_diff:
+        return out
+    return out * edge_mask(theta.shape, b, theta.dtype)
+
+
 def adjoint_block(a: jax.Array, b: Binary) -> jax.Array:
+    """Adjoint of the padded forward diff: chained (shift_up - id).  Exact
+    because a's padded edge is zero: (D'a)_i = a_{i-1} - a_i with a_{-1}
+    := a_{m-1} = 0 via the circular shift."""
     out = a
     for j, bj in enumerate(b):
         if bj:
-            out = adjoint_diff_axis(out, j)
+            out = _shift_up(out, j) - out
     return out
 
 
@@ -173,7 +204,9 @@ def blocks_abs_max(blocks: Blocks) -> jax.Array:
 
 def zeros_like_blocks(m: Sequence[int], binaries: Sequence[Binary],
                       dtype=jnp.float32) -> Blocks:
-    return tuple(jnp.zeros(block_shape(m, b), dtype) for b in binaries)
+    """Zero block stack in the padded (full lattice shape) representation."""
+    m = tuple(int(v) for v in m)
+    return tuple(jnp.zeros(m, dtype) for _ in binaries)
 
 
 def tv_penalty(theta: jax.Array, binaries: Sequence[Binary],

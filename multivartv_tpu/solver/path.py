@@ -40,7 +40,7 @@ def lam_max(ops: Operators, problem: Problem, pcfg: PathConfig,
         # x_solver that doesn't keep DCT eigenvalues still gets an exact
         # lambda_max via a one-off eigenvalue build on the same lattice.
         raise ValueError("lam_max requires operators built with DCT eigenvalues")
-    pinv_oty = dct_ops.gram_pinv_apply(problem.oty, eigs)
+    pinv_oty = dct_ops.gram_pinv_apply(problem.oty, eigs, ops.dct_mats)
     tune = diff_ops.blocks_abs_max(ops.apply_D(pinv_oty))
     if pcfg.lam_max_mode == "cpp":
         return pcfg.lam_max_scale * tune

@@ -39,6 +39,9 @@ class Operators:
     scales: Tuple[jax.Array, ...] = dataclasses.field(default=())
     gram_eigs: Optional[jax.Array] = None   # DCT eigenvalues of D'D, shape m
     gram_diagonal: Optional[jax.Array] = None  # diag(D'D), shape m
+    # Per-axis dense DCT-II matrices: on TPU the MXU matmul transform beats
+    # the FFT lowering for axis sizes up to ~2048.  None -> FFT path.
+    dct_mats: Optional[Tuple[jax.Array, ...]] = None
 
     @property
     def ntheta(self) -> int:
@@ -77,7 +80,8 @@ class Problem:
 
 def build_operators(m: Sequence[int], deltas: jax.Array,
                     cfg: SolverConfig, dtype=jnp.float32) -> Operators:
-    binaries = diff_ops.fd_binaries(len(tuple(m)), cfg.include_full_mixed)
+    m = tuple(int(v) for v in m)
+    binaries = diff_ops.fd_binaries(len(m), cfg.include_full_mixed)
     scales = diff_ops.delta_scales(binaries, deltas)
     need_dct = cfg.x_solver in ("dct_pcg", "dct_direct")
     gram_eigs = (
@@ -88,12 +92,17 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         diff_ops.gram_diag(m, binaries, scales, dtype)
         if cfg.x_solver == "jacobi_pcg" else None
     )
+    dct_mats = (
+        dct_ops.dct_matrices(m, dtype)
+        if need_dct and max(m) <= 2048 else None
+    )
     return Operators(
         binaries=binaries,
-        m=tuple(int(v) for v in m),
+        m=m,
         scales=tuple(scales),
         gram_eigs=gram_eigs,
         gram_diagonal=gram_diagonal,
+        dct_mats=dct_mats,
     )
 
 

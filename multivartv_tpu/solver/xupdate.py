@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from multivartv_tpu.config import SolverConfig
 from multivartv_tpu.ops import dct as dct_ops
-from multivartv_tpu.solver.cg import pcg
+from multivartv_tpu.solver.cg import pcg, pcg_fixed
 from multivartv_tpu.solver.problem import Operators, Problem
 
 
@@ -39,13 +39,17 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         return counts * v + rho * ops.apply_gram(v)
 
     if cfg.x_solver == "dct_direct":
-        x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs)
+        x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs, ops.dct_mats)
         return x, jnp.zeros((), jnp.int32)
 
     if cfg.x_solver == "dct_pcg":
         eigs = ops.gram_eigs
+        mats = ops.dct_mats
 
         def precond(r):
+            if mats is not None:
+                return dct_ops.idctn_mat(
+                    dct_ops.dctn_mat(r, mats) / (cbar + rho * eigs), mats)
             return dct_ops.idctn(dct_ops.dctn(r) / (cbar + rho * eigs))
 
     elif cfg.x_solver == "jacobi_pcg":
@@ -57,6 +61,10 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
     else:  # "cg"
         precond = None
 
-    res = pcg(matvec, b, x0, precond=precond,
-              tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
+    if cfg.cg_fixed_iters is not None:
+        res = pcg_fixed(matvec, b, x0, precond=precond,
+                        n_iters=cfg.cg_fixed_iters)
+    else:
+        res = pcg(matvec, b, x0, precond=precond,
+                  tol=cfg.cg_tol, max_iters=cfg.cg_max_iters)
     return res.x, res.iters

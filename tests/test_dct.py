@@ -37,6 +37,21 @@ def test_gram_diagonalization_python_blockset(rng):
     assert np.allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-4)
 
 
+@pytest.mark.parametrize("m", [(8,), (7, 5), (4, 6, 3)])
+def test_matmul_dct_matches_fft(m, rng):
+    x = jnp.asarray(rng.randn(*m).astype(np.float32))
+    mats = dct.dct_matrices(m)
+    a = dct.dctn_mat(x, mats)
+    b = dct.dctn(x)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+    back = dct.idctn_mat(a, mats)
+    assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+    # leading batch dim
+    xb = jnp.stack([x, 2 * x])
+    ab = dct.dctn_mat(xb, mats)
+    assert np.allclose(np.asarray(ab[1]), 2 * np.asarray(a), atol=1e-4)
+
+
 def test_zero_mode():
     eigs = dct.gram_eigenvalues((5, 4), jnp.asarray([1.0, 2.0]))
     assert abs(float(eigs[0, 0])) < 1e-6

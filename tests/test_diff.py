@@ -52,15 +52,24 @@ def test_delta_scales():
 
 
 def test_apply_block_matches_numpy_diff(rng):
+    # Padded representation: full lattice shape, valid region = iterated
+    # np.diff, trailing edge of each differenced axis = exact zeros.
     m = (5, 4, 3)
     x = rng.randn(*m)
     for b in diff.fd_binaries(3):
         got = np.asarray(diff.apply_block(jnp.asarray(x), b))
+        assert got.shape == m
         want = x
+        sl = []
         for j, bj in enumerate(b):
             if bj:
                 want = np.diff(want, axis=j)
-        assert np.allclose(got, want, atol=1e-6)
+            sl.append(slice(0, m[j] - bj))
+        assert np.allclose(got[tuple(sl)], want, atol=1e-6)
+        # padding zeros
+        mask = np.ones(m, bool)
+        mask[tuple(sl)] = False
+        assert np.all(got[mask] == 0.0)
 
 
 def test_adjoint_identity(rng):
@@ -70,7 +79,12 @@ def test_adjoint_identity(rng):
     scales = diff.delta_scales(bins, deltas)
     theta = jnp.asarray(rng.randn(*m))
     blocks = diff.apply_D(theta, bins, scales)
-    a = tuple(jnp.asarray(rng.randn(*blk.shape)) for blk in blocks)
+    # random padded-representation duals: random values masked to the
+    # valid region (the ADMM invariant).
+    a = tuple(
+        jnp.asarray(rng.randn(*blk.shape)) * diff.edge_mask(m, b, blk.dtype)
+        for blk, b in zip(blocks, bins)
+    )
     lhs = sum(float(jnp.sum(x * y)) for x, y in zip(blocks, a))
     rhs = float(jnp.sum(theta * diff.apply_Dt(a, bins, scales)))
     assert np.isclose(lhs, rhs, rtol=1e-5)
