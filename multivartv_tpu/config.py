@@ -40,6 +40,10 @@ class SolverConfig:
     # When set, the x-update runs exactly this many PCG steps (no
     # convergence predicate) — deterministic cost, no while-loop overhead.
     cg_fixed_iters: Optional[int] = None
+    # Fused Pallas kernels for the 2-D hot path (gram matvec + dual stage).
+    # Auto-falls-back to the jnp path off-TPU, for p != 2, for lattices too
+    # large for whole-block VMEM residency, or for the reduced block set.
+    use_pallas: bool = True
     # Include the all-ones (full mixed partial) difference block.  The
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).

@@ -84,27 +84,48 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     sqrt_rowsd = jnp.asarray(math.sqrt(ops.rows_d), dtype)
     cbar = jnp.sum(problem.counts) / ops.ntheta
 
+    from multivartv_tpu.ops import pallas_kernels as pk
+    use_pallas = (
+        cfg.use_pallas
+        and pk.supported(ops.m, ops.binaries)
+        and jax.default_backend() == "tpu"
+        and problem.counts.ndim == len(ops.m)  # not fold/scenario-batched
+    )
+
     def body(s: ADMMState) -> ADMMState:
         uold = s.u
         # x-update: b = O'y + rho D'(alpha + u)
         au = tuple(a + w for a, w in zip(s.alpha, s.u))
         b = problem.oty + s.rho * ops.apply_Dt(au)
-        theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta, cfg)
-        # z-update (prox) and dual update
-        d_theta = ops.apply_D(theta)
-        alpha = soft_threshold_blocks(
-            tuple(dt - w for dt, w in zip(d_theta, s.u)), lam / s.rho
-        )
-        primal_res = tuple(a - dt for a, dt in zip(alpha, d_theta))
-        u = tuple(w + r for w, r in zip(s.u, primal_res))
-        dual_res = s.rho * ops.apply_Dt(tuple(a - c for a, c in zip(u, uold)))
-        # Boyd norms and thresholds (solvers.cpp:119-122)
-        primal_norm = jnp.sqrt(diff_ops.blocks_norm_sq(primal_res))
-        dual_norm = jnp.sqrt(jnp.sum(jnp.square(dual_res)))
-        dtu_norm = jnp.sqrt(jnp.sum(jnp.square(ops.apply_Dt(u))))
+        theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
+                               cfg, use_pallas=use_pallas)
+        if use_pallas:
+            # Fused z/dual stage: one VMEM pass computes alpha, u_new and
+            # every reduction the stopping/adaptation logic needs.
+            alpha, u, stats = pk.dual_update_2d(
+                theta, s.u, lam / s.rho, ops.scales)
+            primal_norm = jnp.sqrt(stats[0])
+            d_theta_norm = jnp.sqrt(stats[1])
+            alpha_norm = jnp.sqrt(stats[2])
+            dual_norm = s.rho * jnp.sqrt(stats[3])
+            dtu_norm = jnp.sqrt(stats[4])
+        else:
+            # z-update (prox) and dual update
+            d_theta = ops.apply_D(theta)
+            alpha = soft_threshold_blocks(
+                tuple(dt - w for dt, w in zip(d_theta, s.u)), lam / s.rho
+            )
+            primal_res = tuple(a - dt for a, dt in zip(alpha, d_theta))
+            u = tuple(w + r for w, r in zip(s.u, primal_res))
+            dual_res = s.rho * ops.apply_Dt(
+                tuple(a - c for a, c in zip(u, uold)))
+            primal_norm = jnp.sqrt(diff_ops.blocks_norm_sq(primal_res))
+            dual_norm = jnp.sqrt(jnp.sum(jnp.square(dual_res)))
+            dtu_norm = jnp.sqrt(jnp.sum(jnp.square(ops.apply_Dt(u))))
+            d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(d_theta))
+            alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(alpha))
+        # Boyd thresholds (solvers.cpp:119-122)
         eps_dual = tol * (sqrt_ntheta + dtu_norm)
-        d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(d_theta))
-        alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(alpha))
         eps_primal = tol * (sqrt_rowsd + jnp.maximum(d_theta_norm, alpha_norm))
         # Adaptive rho (adapt_step, solvers.cpp:77-94)
         rho = s.rho

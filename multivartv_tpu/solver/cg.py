@@ -105,3 +105,30 @@ def pcg_fixed(matvec: Callable[[jax.Array], jax.Array],
         rz = rz_new
     return CGResult(x=x, iters=jnp.asarray(n_iters, jnp.int32),
                     residual_sq=_dot(r, r))
+
+
+def pcg_fused(matvec_dot, precond_dot, b: jax.Array, x0: jax.Array,
+              n_iters: int = 3) -> CGResult:
+    """Fixed-step PCG where the two reductions per step ride along fused
+    operators: matvec_dot(p) -> (A p, <p, A p>) (the dot computed inside
+    the stencil kernel) and precond_dot(r) -> (M^-1 r, <r, M^-1 r>) (the
+    dot computed in the DCT domain where M is diagonal).  No standalone
+    full-array reductions remain in the loop.
+    """
+    eps = jnp.asarray(1e-30, b.dtype)
+    ax0, _ = matvec_dot(x0)
+    r = b - ax0
+    z, rz = precond_dot(r)
+    p = z
+    x = x0
+    for _ in range(n_iters):
+        ap, pap = matvec_dot(p)
+        alpha = rz / jnp.maximum(pap, eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z, rz_new = precond_dot(r)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z + beta * p
+        rz = rz_new
+    return CGResult(x=x, iters=jnp.asarray(n_iters, jnp.int32),
+                    residual_sq=rz)

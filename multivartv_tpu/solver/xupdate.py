@@ -26,13 +26,13 @@ import jax.numpy as jnp
 
 from multivartv_tpu.config import SolverConfig
 from multivartv_tpu.ops import dct as dct_ops
-from multivartv_tpu.solver.cg import pcg, pcg_fixed
+from multivartv_tpu.solver.cg import pcg, pcg_fixed, pcg_fused
 from multivartv_tpu.solver.problem import Operators, Problem
 
 
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             b: jax.Array, rho: jax.Array, x0: jax.Array,
-            cfg: SolverConfig) -> Tuple[jax.Array, jax.Array]:
+            cfg: SolverConfig, use_pallas: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (theta, cg_iters)."""
 
     def matvec(v):
@@ -41,6 +41,27 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
     if cfg.x_solver == "dct_direct":
         x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs, ops.dct_mats)
         return x, jnp.zeros((), jnp.int32)
+
+    if use_pallas and cfg.x_solver == "dct_pcg" and ops.dct_mats is not None:
+        # Fully-fused path: stencil matvec (+dot) in one Pallas kernel,
+        # preconditioner dot computed in the DCT eigenbasis for free.
+        from multivartv_tpu.ops import pallas_kernels as pk
+        eigs = ops.gram_eigs
+        mats = ops.dct_mats
+        n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
+
+        def matvec_dot(v):
+            return pk.gram_matvec_2d(v, counts, rho, ops.scales)
+
+        def precond_dot(r):
+            rhat = dct_ops.dctn_mat(r, mats)
+            w = cbar + rho * eigs
+            zhat = rhat / w
+            rz = jnp.sum(rhat * zhat)
+            return dct_ops.idctn_mat(zhat, mats), rz
+
+        res = pcg_fused(matvec_dot, precond_dot, b, x0, n_iters=n_steps)
+        return res.x, res.iters
 
     if cfg.x_solver == "dct_pcg":
         eigs = ops.gram_eigs

@@ -1,0 +1,70 @@
+"""Pallas kernel correctness vs the jnp reference path (interpreter mode —
+the CPU backend runs the same kernel logic the TPU compiles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.ops import diff, pallas_kernels as pk
+from multivartv_tpu.ops.prox import soft_threshold_blocks
+
+
+@pytest.fixture(scope="module")
+def setup(rng=None):
+    rng = np.random.RandomState(3)
+    m = (16, 24)
+    bins = diff.fd_binaries(2)
+    deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+    scales = diff.delta_scales(bins, deltas)
+    theta = jnp.asarray(rng.randn(*m).astype(np.float32))
+    counts = jnp.asarray(rng.poisson(3, m).astype(np.float32))
+    u = tuple(
+        jnp.asarray(rng.randn(*m).astype(np.float32)) * diff.edge_mask(m, b)
+        for b in bins
+    )
+    return m, bins, scales, theta, counts, u
+
+
+def test_gram_matvec_matches_jnp(setup):
+    m, bins, scales, theta, counts, _ = setup
+    rho = jnp.asarray(0.7, jnp.float32)
+    got, dot = pk.gram_matvec_2d(theta, counts, rho, scales, interpret=True)
+    want = counts * theta + rho * diff.apply_gram(theta, bins, scales)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    assert np.isclose(float(dot), float(jnp.sum(theta * want)), rtol=1e-4)
+
+
+def test_dual_update_matches_jnp(setup):
+    m, bins, scales, theta, counts, u = setup
+    kappa = jnp.asarray(0.3, jnp.float32)
+    alpha, u_new, stats = pk.dual_update_2d(theta, u, kappa, scales,
+                                            interpret=True)
+    d_theta = diff.apply_D(theta, bins, scales)
+    alpha_ref = soft_threshold_blocks(
+        tuple(dt - w for dt, w in zip(d_theta, u)), kappa)
+    r_ref = tuple(a - dt for a, dt in zip(alpha_ref, d_theta))
+    u_ref = tuple(w + r for w, r in zip(u, r_ref))
+    for a, b_ in zip(alpha, alpha_ref):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+    for a, b_ in zip(u_new, u_ref):
+        assert np.allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+    want_stats = [
+        float(diff.blocks_norm_sq(r_ref)),
+        float(diff.blocks_norm_sq(d_theta)),
+        float(diff.blocks_norm_sq(alpha_ref)),
+        float(jnp.sum(jnp.square(diff.apply_Dt(r_ref, bins, scales)))),
+        float(jnp.sum(jnp.square(diff.apply_Dt(u_ref, bins, scales)))),
+    ]
+    got_stats = np.asarray(stats)
+    assert np.allclose(got_stats, want_stats, rtol=1e-4, atol=1e-4)
+
+
+def test_supported_gate():
+    bins2 = diff.fd_binaries(2)
+    bins3 = diff.fd_binaries(3)
+    assert pk.supported((512, 512), bins2)
+    assert pk.supported((1024, 1024), bins2)
+    assert not pk.supported((2048, 2048), bins2)
+    assert not pk.supported((8, 8, 8), bins3)
+    assert not pk.supported((16, 16), diff.fd_binaries(2, False))
