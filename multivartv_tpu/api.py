@@ -168,7 +168,24 @@ def _resolve_mesh(data, y, m, mesh, mesh_cfg: MeshConfig, dtype) -> MeshSpec:
     else:
         m = tuple(int(v) for v in np.ravel(m))
     if mesh is not None:
-        return mesh_lib.mesh_spec_from_points(mesh, m)
+        try:
+            return mesh_lib.mesh_spec_from_points(mesh, m)
+        except ValueError:
+            # Arbitrary point-cloud mesh (reference gen_mesh pass-through,
+            # solvers.cpp:233-244): rows are lattice nodes by *index*;
+            # deltas come from the data ranges (create_deltas,
+            # utils.cpp:256-263).
+            eps = mesh_cfg.eps
+            deltas = []
+            for j in range(p):
+                rng = data[:, j].max() - data[:, j].min() + 2 * eps
+                deltas.append(rng / m[j] if mesh_cfg.delta_mode == "cpp"
+                              else rng / max(m[j] - 1, 1))
+            return mesh_lib.PointCloudMeshSpec(
+                points=jnp.asarray(np.asarray(mesh), dtype),
+                deltas=jnp.asarray(deltas, dtype),
+                m=m,
+            )
     # Host-side mesh build (cheap: p linspaces) keeps knots concrete for
     # reporting; float64 on host, cast at the jit boundary.
     eps = mesh_cfg.eps
@@ -182,6 +199,12 @@ def _resolve_mesh(data, y, m, mesh, mesh_cfg: MeshConfig, dtype) -> MeshSpec:
                       else rng / max(m[j] - 1, 1))
     return MeshSpec(knots=tuple(knots), deltas=jnp.asarray(deltas, dtype),
                     m=m, regular=True)
+
+
+def _mesh_points_np(spec) -> np.ndarray:
+    if isinstance(spec, mesh_lib.PointCloudMeshSpec):
+        return np.asarray(spec.points)
+    return np.asarray(mesh_lib.lattice_points(spec.knots, spec.m))
 
 
 def mvtv(data, y, m=None, mesh=None, n_lambda: int = 100, ftrue=None,
@@ -315,7 +338,7 @@ def _assemble_model(data_np, y_np, spec, problem, final_path,
         data=data_np,
         y=y_np,
         m=spec.m,
-        mesh=np.asarray(mesh_lib.lattice_points(spec.knots, spec.m)),
+        mesh=_mesh_points_np(spec),
         theta_hat=theta_flat_ref,
         theta_lattice=theta_lattice,
         fitted=fitted,
@@ -356,7 +379,7 @@ def mvtv_one(data, y, m=None, mesh=None, lam=None,
     lam = jnp.asarray(lam, dtype)
     theta, fitted, counter = _jit_single(ops, problem, lam, lam, solver_config)
     return {
-        "mesh": np.asarray(mesh_lib.lattice_points(spec.knots, spec.m)),
+        "mesh": _mesh_points_np(spec),
         "mesh_spec": spec,
         "theta_hat": np.asarray(mesh_lib.flatten_ref_order(theta)),
         "theta_lattice": np.asarray(theta),

@@ -51,6 +51,45 @@ class MeshSpec:
         return int(np.prod(self.m))
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PointCloudMeshSpec:
+    """An arbitrary (non-lattice) user mesh: (ntheta, p) knot coordinates
+    in the reference's axis-0-fastest row order.
+
+    The reference supports this via its `mesh` argument (gen_mesh,
+    solvers.cpp:233-244): geometric nearest-neighbor assignment uses the
+    raw points, while the difference operator D still acts on the m-lattice
+    *index* structure — row k of the mesh is lattice node vector2tensor(k)
+    (utils.cpp:245-252).  Nearest lookup is host-side (native kd-tree when
+    available) or on-device batched matmul.
+    """
+
+    points: jax.Array   # (ntheta, p), reference row order
+    deltas: jax.Array   # (p,)
+    m: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ndim(self) -> int:
+        return len(self.m)
+
+    @property
+    def ntheta(self) -> int:
+        return int(np.prod(self.m))
+
+
+def ref_flat_to_multi(flat_ref: np.ndarray, m: Sequence[int]) -> np.ndarray:
+    """Decompose reference-order (axis 0 fastest) flat indices into
+    multi-indices, shape (n, p) — inverse of flat_index_ref."""
+    m = tuple(int(v) for v in m)
+    out = np.empty((len(flat_ref), len(m)), np.int64)
+    rem = np.asarray(flat_ref, np.int64).copy()
+    for j, mj in enumerate(m):
+        out[:, j] = rem % mj
+        rem //= mj
+    return out
+
+
 def _as_2d(data) -> jax.Array:
     data = jnp.asarray(data)
     if data.ndim == 1:

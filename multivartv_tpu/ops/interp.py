@@ -23,12 +23,40 @@ import jax.numpy as jnp
 import numpy as np
 
 from multivartv_tpu import mesh as mesh_lib
-from multivartv_tpu.mesh import MeshSpec
+from multivartv_tpu.mesh import MeshSpec, PointCloudMeshSpec
 
 
-def flat_knot_indices(spec: MeshSpec, data) -> jax.Array:
+def flat_knot_indices(spec, data) -> jax.Array:
     """Per-sample C-order flat index of the nearest knot, shape (n,)."""
+    if isinstance(spec, PointCloudMeshSpec):
+        return pointcloud_flat_c_indices(spec, data)
     multi = mesh_lib.nearest_knot_multi_index(spec, data)
+    return mesh_lib.flat_index_c(multi, spec.m)
+
+
+def pointcloud_flat_c_indices(spec: PointCloudMeshSpec, data) -> jax.Array:
+    """Nearest mesh-row assignment for an arbitrary point-cloud mesh,
+    converted from the reference row order to internal C-order flat
+    indices.  Host data uses the native kd-tree (multivartv_tpu.native);
+    traced/device data uses the batched-matmul scan."""
+    if isinstance(data, np.ndarray):
+        try:
+            from multivartv_tpu import native
+            pts = np.asarray(spec.points)
+            idx_ref = native.nearest_kdtree(data, pts)
+        except Exception:
+            idx_ref = None
+        if idx_ref is not None:
+            multi = mesh_lib.ref_flat_to_multi(idx_ref, spec.m)
+            return mesh_lib.flat_index_c(jnp.asarray(multi), spec.m)
+    idx_ref = nearest_pointcloud_indices(data, spec.points)
+    # ref-order flat -> multi -> C-order flat (traced-safe arithmetic)
+    rem = idx_ref.astype(jnp.int32)
+    cols = []
+    for mj in spec.m:
+        cols.append(rem % mj)
+        rem = rem // mj
+    multi = jnp.stack(cols, axis=1)
     return mesh_lib.flat_index_c(multi, spec.m)
 
 

@@ -107,10 +107,16 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
 
 
 def build_problem(spec: MeshSpec, data, y, train_mask=None,
-                  dtype=jnp.float32) -> Problem:
-    """Bin data to the lattice and precompute the O-side cached objects."""
+                  dtype=jnp.float32, flat_idx=None) -> Problem:
+    """Bin data to the lattice and precompute the O-side cached objects.
+
+    flat_idx: precomputed C-order nearest-knot indices (used for
+    point-cloud meshes where the assignment runs host-side)."""
     y = jnp.asarray(y, dtype).reshape(-1)
-    flat_idx = interp_ops.flat_knot_indices(spec, data)
+    if flat_idx is None:
+        flat_idx = interp_ops.flat_knot_indices(spec, data)
+    else:
+        flat_idx = jnp.asarray(flat_idx, jnp.int32)
     if train_mask is None:
         w = None
         ybar = jnp.mean(y)

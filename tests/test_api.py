@@ -108,6 +108,27 @@ def test_univariate_fit():
     assert mse_best < 0.25 * mse_null
 
 
+def test_pointcloud_mesh_support():
+    """Arbitrary (non-lattice) user mesh: reference gen_mesh pass-through
+    semantics — nearest assignment by geometry, D by lattice index."""
+    rng = np.random.RandomState(7)
+    x, y = _example_data()
+    base = np.asarray(gen_mesh(x, (3, 3)))
+    jitter = base + rng.normal(0, 0.02, base.shape)  # not a lattice
+    model = mvtv(x, y, m=(3, 3), mesh=jitter, n_lambda=8, folds=1)
+    assert np.allclose(model.mesh, jitter)
+    assert model.theta_hat.shape == (9,)
+    # predictions snap to nearest jittered knots
+    preds = model.predict(x)
+    assert np.allclose(preds, model.fitted, atol=1e-6)
+    # golden cross-check of the O assignment (brute force over rows)
+    d = ((x[:, None, :] - jitter[None, :, :]) ** 2).sum(-1)
+    want_ref_idx = d.argmin(1)
+    got = model.fitted
+    theta = model.theta_hat
+    assert np.allclose(got, theta[want_ref_idx], atol=1e-5)
+
+
 def test_ftrue_argument():
     x, y = _example_data()
     ftrue = np.zeros_like(y)
