@@ -50,15 +50,14 @@ def measure_tpu_iters_per_s():
     state0 = initial_state(ops, problem, rho0=lam / 5.0)
 
     run = jax.jit(
-        lambda st, k: admm_fixed_iterations(ops, problem, lam, st, cfg, k),
-        static_argnames="k",
-    )
-    # Warm up: compile + let CG iteration counts settle to steady state.
-    state = run(state0, 20)
+        lambda st: admm_fixed_iterations(ops, problem, lam, st, cfg,
+                                         BENCH_ITERS))
+    # Warm up: compile the exact timed program and settle to steady state.
+    state = run(state0)
     jax.block_until_ready(state.theta)
 
     t0 = time.perf_counter()
-    state = run(state, BENCH_ITERS)
+    state = run(state)
     jax.block_until_ready(state.theta)
     dt = time.perf_counter() - t0
     iters_per_s = BENCH_ITERS / dt

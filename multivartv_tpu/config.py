@@ -44,6 +44,11 @@ class SolverConfig:
     # Auto-falls-back to the jnp path off-TPU, for p != 2, for lattices too
     # large for whole-block VMEM residency, or for the reduced block set.
     use_pallas: bool = True
+    # Run the DCT preconditioner matmuls in bfloat16 (MXU runs 2-4x the
+    # f32 rate).  Preconditioning quality is unaffected at CG level —
+    # residuals and updates stay float32 — but M becomes slightly inexact,
+    # so it is opt-in.
+    precond_bf16: bool = False
     # Include the all-ones (full mixed partial) difference block.  The
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).

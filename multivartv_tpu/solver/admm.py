@@ -71,7 +71,7 @@ def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
 
 
 def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
-                        cfg: SolverConfig):
+                        cfg: SolverConfig, batched: bool = False):
     """Build the single-iteration ADMM update (the while_loop body).
 
     Exposed separately so callers can take exactly one step (profiling,
@@ -86,11 +86,15 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     cbar = jnp.sum(problem.counts) / ops.ntheta
 
     from multivartv_tpu.ops import pallas_kernels as pk
+    # Pallas kernels cannot be vmapped over (the SMEM scalar operands do
+    # not batch), so callers running under vmap (CV folds, lambda sweeps)
+    # pass batched=True to select the jnp path.
     use_pallas = (
         cfg.use_pallas
+        and not batched
         and pk.supported(ops.m, ops.binaries)
         and jax.default_backend() == "tpu"
-        and problem.counts.ndim == len(ops.m)  # not fold/scenario-batched
+        and problem.counts.ndim == len(ops.m)
     )
 
     def body(s: ADMMState) -> ADMMState:
@@ -155,9 +159,10 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
 
 
 def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
-               state: ADMMState, cfg: SolverConfig) -> ADMMState:
+               state: ADMMState, cfg: SolverConfig,
+               batched: bool = False) -> ADMMState:
     """Run ADMM at a single lambda until Boyd convergence or the cap."""
-    body = make_admm_iteration(ops, problem, lam, cfg)
+    body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
 
     def cond(s: ADMMState):
         not_done = jnp.logical_or(
@@ -197,9 +202,9 @@ def solver_diagnostics(state: ADMMState) -> dict:
 
 def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
                           state: ADMMState, cfg: SolverConfig,
-                          n_iters: int) -> ADMMState:
+                          n_iters: int, batched: bool = False) -> ADMMState:
     """Run exactly n_iters ADMM iterations (benchmarking / profiling)."""
-    body = make_admm_iteration(ops, problem, lam, cfg)
+    body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
     return jax.lax.fori_loop(0, n_iters, lambda _, s: body(s), state)
 
 

@@ -47,7 +47,7 @@ def solve_lambda_sweep(ops: Operators, problem: Problem, lambdas: jax.Array,
 
     def one(lam):
         state = initial_state(ops, problem, rho0)
-        state = admm_solve(ops, problem, lam, state, cfg)
+        state = admm_solve(ops, problem, lam, state, cfg, batched=True)
         fits = gather_fitted(state.theta, problem.flat_idx)
         mse = jnp.mean(jnp.square(fits - target))
         return state.theta, mse, state.counter
@@ -64,7 +64,7 @@ def solve_problem_batch(ops: Operators, problems: Problem, lambdas: jax.Array,
 
     def one(problem, lam):
         state = initial_state(ops, problem, lam / 5.0)
-        state = admm_solve(ops, problem, lam, state, cfg)
+        state = admm_solve(ops, problem, lam, state, cfg, batched=True)
         fits = gather_fitted(state.theta, problem.flat_idx)
         mse = jnp.mean(jnp.square(fits - problem.y))
         return state.theta, mse, state.counter

@@ -62,15 +62,16 @@ def cross_validate(ops: Operators, problems: Problem, lambdas: jax.Array,
     import dataclasses as _dc
     mse_only = _dc.replace(pcfg, store="mse")
 
-    def one_fold(problem: Problem):
-        res = path_lib.solve_path(ops, problem, lambdas, cfg, mse_only)
+    def one_fold(problem: Problem, batched: bool):
+        res = path_lib.solve_path(ops, problem, lambdas, cfg, mse_only,
+                                  batched=batched)
         return res.test_mse, res.iters
 
     if cvcfg.vmap_folds:
-        test_mse, iters = jax.vmap(one_fold)(problems)
+        test_mse, iters = jax.vmap(lambda pr: one_fold(pr, True))(problems)
     else:
         outs = [
-            one_fold(jax.tree.map(lambda a: a[f], problems))
+            one_fold(jax.tree.map(lambda a: a[f], problems), False)
             for f in range(problems.counts.shape[0])
         ]
         test_mse = jnp.stack([o[0] for o in outs])

@@ -80,7 +80,8 @@ def _masked_mse(fits: jax.Array, target: jax.Array,
 def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
                cfg: SolverConfig, pcfg: PathConfig,
                ftrue: Optional[jax.Array] = None,
-               init_state: Optional[ADMMState] = None) -> PathResult:
+               init_state: Optional[ADMMState] = None,
+               batched: bool = False) -> PathResult:
     """Warm-started lambda path as a lax.scan.
 
     ftrue: per-sample prediction target for the train MSE (reference
@@ -88,6 +89,8 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
     Held-out MSE (reference test_mse, solvers.cpp:278-288) is computed per
     lambda against samples where train_mask == 0.
     init_state: resume carry (checkpoint restore / chunked path solves).
+    batched: set when this call runs under vmap (disables Pallas kernels,
+        which do not batch).
     """
     if ftrue is None:
         ftrue = problem.y
@@ -101,7 +104,7 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
     store_theta = pcfg.store == "fitted"
 
     def step(state: ADMMState, lam):
-        state = admm_solve(ops, problem, lam, state, cfg)
+        state = admm_solve(ops, problem, lam, state, cfg, batched=batched)
         fits = gather_fitted(state.theta, problem.flat_idx)
         train_mse = _masked_mse(fits, ftrue, train_mask)
         test_mse = (

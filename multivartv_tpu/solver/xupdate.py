@@ -53,12 +53,25 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         def matvec_dot(v):
             return pk.gram_matvec_2d(v, counts, rho, ops.scales)
 
-        def precond_dot(r):
-            rhat = dct_ops.dctn_mat(r, mats)
-            w = cbar + rho * eigs
-            zhat = rhat / w
-            rz = jnp.sum(rhat * zhat)
-            return dct_ops.idctn_mat(zhat, mats), rz
+        if cfg.precond_bf16:
+            mats_lp = tuple(t.astype(jnp.bfloat16) for t in mats)
+
+            def precond_dot(r):
+                rhat = dct_ops.dctn_mat(
+                    r.astype(jnp.bfloat16), mats_lp).astype(r.dtype)
+                w = cbar + rho * eigs
+                zhat = rhat / w
+                rz = jnp.sum(rhat * zhat)
+                z = dct_ops.idctn_mat(
+                    zhat.astype(jnp.bfloat16), mats_lp).astype(r.dtype)
+                return z, rz
+        else:
+            def precond_dot(r):
+                rhat = dct_ops.dctn_mat(r, mats)
+                w = cbar + rho * eigs
+                zhat = rhat / w
+                rz = jnp.sum(rhat * zhat)
+                return dct_ops.idctn_mat(zhat, mats), rz
 
         res = pcg_fused(matvec_dot, precond_dot, b, x0, n_iters=n_steps)
         return res.x, res.iters
