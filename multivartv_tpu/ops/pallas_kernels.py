@@ -134,9 +134,13 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
                         a0_ref, a1_ref, a2_ref,
                         un0_ref, un1_ref, un2_ref,
                         stats_ref):
-    """scal_ref (SMEM, (4,)): [kappa, s_mix, s_ax1, s_ax0].
+    """scal_ref (SMEM, (5,)): [kappa, s_mix, s_ax1, s_ax0, u_scale].
     stats_ref (SMEM, (5,)): [||r||^2, ||Dtheta||^2, ||alpha||^2,
-                             ||D'r||^2, ||D'u||^2]."""
+                             ||D'r||^2, ||D'u||^2].
+
+    u_scale folds the adaptive-rho dual rescaling (reference adapt_step,
+    solvers.cpp:88-92) into the load: the effective dual is u_scale * u_ref,
+    so the rescale never costs an HBM pass of its own."""
     theta = theta_ref[:]
     dtype = theta.dtype
     mask0, mask1 = _masks(theta.shape, dtype)
@@ -144,6 +148,7 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
     s_mix = scal_ref[1]
     s_ax1 = scal_ref[2]
     s_ax0 = scal_ref[3]
+    uscale = scal_ref[4]
 
     d0 = _fwd0(theta, mask0)
     dt_mix = s_mix * _fwd1(d0, mask1)      # block (1,1)
@@ -153,9 +158,9 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
     def soft(z):
         return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
 
-    u0 = u0_ref[:]
-    u1 = u1_ref[:]
-    u2 = u2_ref[:]
+    u0 = uscale * u0_ref[:]
+    u1 = uscale * u1_ref[:]
+    u2 = uscale * u2_ref[:]
     a0 = soft(dt_mix - u0)
     a1 = soft(dt_ax1 - u1)
     a2 = soft(dt_ax0 - u2)
@@ -188,11 +193,14 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
 
 def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                    kappa: jax.Array, scales: Tuple[jax.Array, ...],
+                   u_scale: jax.Array | None = None,
                    interpret: bool = False):
     """Fused z/dual ADMM stage for p=2.
 
-    Returns (alpha (3 blocks), u_new (3 blocks), stats (5,)) with stats =
-    [||r||^2, ||D theta||^2, ||alpha||^2, ||D'r||^2, ||D'u_new||^2].
+    The effective dual variable is u_scale * u (u_scale=None means 1) —
+    see _dual_update_kernel.  Returns (alpha (3 blocks), u_new (3 blocks),
+    stats (5,)) with stats = [||r||^2, ||D theta||^2, ||alpha||^2,
+    ||D'r||^2, ||D'u_new||^2].
     """
     dtype = theta.dtype
     scal = jnp.stack([
@@ -200,6 +208,8 @@ def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
         jnp.asarray(scales[0], dtype),
         jnp.asarray(scales[1], dtype),
         jnp.asarray(scales[2], dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
     ])
     shapes = jax.ShapeDtypeStruct(theta.shape, dtype)
     outs = pl.pallas_call(
@@ -230,6 +240,51 @@ def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     u_new = outs[3:6]
     stats = outs[6]
     return alpha, u_new, stats
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: fused x-update right-hand side b = oty + rho D'(alpha + u)
+# ---------------------------------------------------------------------------
+
+def _rhs_kernel(a0_ref, a1_ref, a2_ref, u0_ref, u1_ref, u2_ref, oty_ref,
+                scal_ref, b_ref):
+    """scal_ref (SMEM, (5,)): [rho, u_scale, s_mix, s_ax1, s_ax0].
+    b = oty + rho * sum_b s_b adj_b(alpha_b + u_scale * u_b)
+    (reference solvers.cpp:112) in one VMEM pass."""
+    rho = scal_ref[0]
+    uscale = scal_ref[1]
+    s_mix = scal_ref[2]
+    s_ax1 = scal_ref[3]
+    s_ax0 = scal_ref[4]
+    w0 = a0_ref[:] + uscale * u0_ref[:]
+    w1 = a1_ref[:] + uscale * u1_ref[:]
+    w2 = a2_ref[:] + uscale * u2_ref[:]
+    acc = (s_mix * _adj0(_adj1(w0)) + s_ax1 * _adj1(w1) + s_ax0 * _adj0(w2))
+    b_ref[:] = oty_ref[:] + rho * acc
+
+
+def rhs_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
+           oty: jax.Array, rho: jax.Array, u_scale: jax.Array | None,
+           scales: Tuple[jax.Array, ...],
+           interpret: bool = False) -> jax.Array:
+    """Fused ADMM x-update RHS for p=2 (blocks in fd_binaries(2) order)."""
+    dtype = oty.dtype
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+    ])
+    return pl.pallas_call(
+        _rhs_kernel,
+        out_shape=jax.ShapeDtypeStruct(oty.shape, dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(alpha[0], alpha[1], alpha[2], u[0], u[1], u[2], oty, scal)
 
 
 def supported(m: Tuple[int, ...], binaries) -> bool:

@@ -32,6 +32,12 @@ from multivartv_tpu.solver.xupdate import solve_x
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ADMMState:
+    """The effective dual variable is u_scale * u.  Adaptive rho's inverse
+    dual rescaling (reference adapt_step, solvers.cpp:88-92) is carried as
+    the scalar u_scale instead of dividing the u blocks — consumers fold
+    the multiply into their elementwise chains, so the rescale never costs
+    an HBM pass."""
+
     theta: jax.Array
     alpha: Tuple[jax.Array, ...]
     u: Tuple[jax.Array, ...]
@@ -42,6 +48,7 @@ class ADMMState:
     eps_primal: jax.Array
     eps_dual: jax.Array
     cg_iters: jax.Array
+    u_scale: jax.Array
 
 
 def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
@@ -67,6 +74,7 @@ def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
         eps_primal=one * 0.0,
         eps_dual=one * 0.0,
         cg_iters=jnp.zeros((), jnp.int32),
+        u_scale=one,
     )
 
 
@@ -98,17 +106,20 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     )
 
     def body(s: ADMMState) -> ADMMState:
-        uold = s.u
-        # x-update: b = O'y + rho D'(alpha + u)
-        au = tuple(a + w for a, w in zip(s.alpha, s.u))
-        b = problem.oty + s.rho * ops.apply_Dt(au)
+        # x-update: b = O'y + rho D'(alpha + u_scale * u)
+        if use_pallas:
+            b = pk.rhs_2d(s.alpha, s.u, problem.oty, s.rho, s.u_scale,
+                          ops.scales)
+        else:
+            au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
+            b = problem.oty + s.rho * ops.apply_Dt(au)
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
                                cfg, use_pallas=use_pallas)
         if use_pallas:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.
             alpha, u, stats = pk.dual_update_2d(
-                theta, s.u, lam / s.rho, ops.scales)
+                theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale)
             primal_norm = jnp.sqrt(stats[0])
             d_theta_norm = jnp.sqrt(stats[1])
             alpha_norm = jnp.sqrt(stats[2])
@@ -117,13 +128,14 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         else:
             # z-update (prox) and dual update
             d_theta = ops.apply_D(theta)
+            u_eff = tuple(s.u_scale * w for w in s.u)
             alpha = soft_threshold_blocks(
-                tuple(dt - w for dt, w in zip(d_theta, s.u)), lam / s.rho
+                tuple(dt - w for dt, w in zip(d_theta, u_eff)), lam / s.rho
             )
             primal_res = tuple(a - dt for a, dt in zip(alpha, d_theta))
-            u = tuple(w + r for w, r in zip(s.u, primal_res))
-            dual_res = s.rho * ops.apply_Dt(
-                tuple(a - c for a, c in zip(u, uold)))
+            u = tuple(w + r for w, r in zip(u_eff, primal_res))
+            # dual residual rho D'(u_new - u_old) = rho D'(primal_res)
+            dual_res = s.rho * ops.apply_Dt(primal_res)
             primal_norm = jnp.sqrt(diff_ops.blocks_norm_sq(primal_res))
             dual_norm = jnp.sqrt(jnp.sum(jnp.square(dual_res)))
             dtu_norm = jnp.sqrt(jnp.sum(jnp.square(ops.apply_Dt(u))))
@@ -132,8 +144,10 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         # Boyd thresholds (solvers.cpp:119-122)
         eps_dual = tol * (sqrt_ntheta + dtu_norm)
         eps_primal = tol * (sqrt_rowsd + jnp.maximum(d_theta_norm, alpha_norm))
-        # Adaptive rho (adapt_step, solvers.cpp:77-94)
+        # Adaptive rho (adapt_step, solvers.cpp:77-94); the inverse dual
+        # rescale u /= factor is carried as next iteration's u_scale.
         rho = s.rho
+        new_scale = jnp.ones((), dtype)
         if cfg.adapt_rho:
             tau = jnp.asarray(cfg.adapt_tau, dtype)
             band = jnp.asarray(cfg.adapt_band, dtype)
@@ -141,7 +155,7 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             shrink = dual_norm > band * primal_norm
             factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
             rho = rho * factor
-            u = tuple(w / factor for w in u)
+            new_scale = 1.0 / factor
         return ADMMState(
             theta=theta,
             alpha=alpha,
@@ -153,6 +167,7 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             eps_primal=eps_primal,
             eps_dual=eps_dual,
             cg_iters=s.cg_iters + cg_it,
+            u_scale=new_scale,
         )
 
     return body

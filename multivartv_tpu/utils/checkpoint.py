@@ -28,8 +28,11 @@ def _flatten_state(state: ADMMState) -> Dict[str, np.ndarray]:
     out = {"theta": np.asarray(state.theta), "rho": np.asarray(state.rho)}
     for i, a in enumerate(state.alpha):
         out[f"alpha_{i}"] = np.asarray(a)
+    # Persist the *effective* dual u_scale * u (see ADMMState docstring) so
+    # the on-disk format is scale-free and restores with u_scale = 1.
+    scale = np.asarray(state.u_scale)
     for i, u in enumerate(state.u):
-        out[f"u_{i}"] = np.asarray(u)
+        out[f"u_{i}"] = scale * np.asarray(u)
     return out
 
 
@@ -87,5 +90,6 @@ def load_path_state(directory: str, like: ADMMState) -> Optional[Tuple[ADMMState
         cg_iters=jnp.zeros((), jnp.int32),
         primal_norm=one, dual_norm=one,
         eps_primal=one * 0.0, eps_dual=one * 0.0,
+        u_scale=one,
     )
     return state, idx

@@ -34,8 +34,11 @@ def test_checkpoint_roundtrip(tmp_path):
     assert idx == 7
     assert np.allclose(np.asarray(restored.theta), np.asarray(state.theta))
     assert np.isclose(float(restored.rho), float(state.rho))
+    # on-disk format is scale-free: restored.u == u_scale * state.u
     for a, b in zip(restored.u, state.u):
-        assert np.allclose(np.asarray(a), np.asarray(b))
+        assert np.allclose(np.asarray(a),
+                           float(state.u_scale) * np.asarray(b))
+    assert float(restored.u_scale) == 1.0
     # counters reset for path continuation
     assert int(restored.counter) == 0
 

@@ -60,6 +60,37 @@ def test_dual_update_matches_jnp(setup):
     assert np.allclose(got_stats, want_stats, rtol=1e-4, atol=1e-4)
 
 
+def test_dual_update_u_scale(setup):
+    """u_scale folds the adaptive-rho dual rescale into the kernel load:
+    dual_update(theta, u, u_scale=s) == dual_update(theta, s*u)."""
+    m, bins, scales, theta, counts, u = setup
+    kappa = jnp.asarray(0.3, jnp.float32)
+    s = jnp.asarray(0.5, jnp.float32)
+    a1, u1, st1 = pk.dual_update_2d(theta, u, kappa, scales, u_scale=s,
+                                    interpret=True)
+    a2, u2, st2 = pk.dual_update_2d(theta, tuple(s * w for w in u), kappa,
+                                    scales, interpret=True)
+    for x, y in zip(a1 + u1, a2 + u2):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+    assert np.allclose(np.asarray(st1), np.asarray(st2), rtol=1e-5)
+
+
+def test_rhs_matches_jnp(setup):
+    m, bins, scales, theta, counts, u = setup
+    rng = np.random.RandomState(7)
+    alpha = tuple(
+        jnp.asarray(rng.randn(*m).astype(np.float32)) * diff.edge_mask(m, b)
+        for b in bins
+    )
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32))
+    rho = jnp.asarray(0.7, jnp.float32)
+    s = jnp.asarray(0.5, jnp.float32)
+    got = pk.rhs_2d(alpha, u, oty, rho, s, scales, interpret=True)
+    au = tuple(a + s * w for a, w in zip(alpha, u))
+    want = oty + rho * diff.apply_Dt(au, bins, scales)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
 def test_supported_gate():
     bins2 = diff.fd_binaries(2)
     bins3 = diff.fd_binaries(3)
