@@ -243,7 +243,132 @@ def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
 
 
 # ---------------------------------------------------------------------------
-# Kernel 3: fused x-update right-hand side b = oty + rho D'(alpha + u)
+# Kernel 3: the ENTIRE x-update — DCT-preconditioned CG in one kernel
+# ---------------------------------------------------------------------------
+
+def _xupdate_kernel(n_steps, b_ref, x_ref, counts_ref, t0_ref, t1_ref,
+                    eigs_ref, scal_ref, xout_ref, rsq_ref):
+    """Solve (diag(counts) + rho D'D) x = b with n_steps fixed PCG steps,
+    preconditioned by the exact DCT solve of (cbar I + rho D'D) — the whole
+    solve in one kernel: every CG vector stays VMEM-resident and the DCT
+    forward/inverse transforms run as bf16 MXU matmuls (the same effective
+    precision as XLA's DEFAULT f32 dot lowering on TPU).
+
+    scal_ref (SMEM, (5,)): [rho, cbar, s_mix, s_ax1, s_ax0].
+    t0/t1: bf16 orthonormal DCT-II matrices (rows = frequency index).
+    Replaces the reference's per-iteration SuperLU factorize+solve
+    (solvers.cpp:113,126)."""
+    x = x_ref[:]
+    b = b_ref[:]
+    counts = counts_ref[:]
+    eigs = eigs_ref[:]
+    dtype = b.dtype
+    mask0, mask1 = _masks(b.shape, dtype)
+    rho = scal_ref[0]
+    cbar = scal_ref[1]
+    g_mix = rho * scal_ref[2] * scal_ref[2]
+    g_ax1 = rho * scal_ref[3] * scal_ref[3]
+    g_ax0 = rho * scal_ref[4] * scal_ref[4]
+    w = cbar + rho * eigs
+    eps = jnp.asarray(1e-30, dtype)
+    t0 = t0_ref[:]
+    t1 = t1_ref[:]
+
+    def matvec(v):
+        d1 = _fwd1(v, mask1)
+        d0 = _fwd0(v, mask0)
+        dm = _fwd1(d0, mask1)
+        acc = g_ax1 * _adj1(d1) + g_ax0 * _adj0(d0) + g_mix * _adj0(_adj1(dm))
+        return counts * v + acc
+
+    def dct2(v):
+        vb = v.astype(t0.dtype)
+        tmp = jax.lax.dot_general(
+            t0, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)              # T0 @ v
+        return jax.lax.dot_general(
+            tmp.astype(t1.dtype), t1, (((1,), (1,)), ((), ())),
+            preferred_element_type=dtype)              # @ T1'
+
+    def idct2(v):
+        vb = v.astype(t0.dtype)
+        tmp = jax.lax.dot_general(
+            t0, vb, (((0,), (0,)), ((), ())),
+            preferred_element_type=dtype)              # T0' @ v
+        return jax.lax.dot_general(
+            tmp.astype(t1.dtype), t1, (((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)              # @ T1
+
+    def precond(r):
+        rhat = dct2(r)
+        zhat = rhat / w
+        rz = jnp.sum(rhat * zhat)
+        return idct2(zhat), rz
+
+    r = b - matvec(x)
+    z, rz = precond(r)
+    p = z
+    for _ in range(n_steps):
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        alpha = rz / jnp.maximum(pap, eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z, rz_new = precond(r)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z + beta * p
+        rz = rz_new
+    xout_ref[:] = x
+    rsq_ref[0] = jnp.sum(r * r)
+
+
+def xupdate_pcg_2d(b: jax.Array, x0: jax.Array, counts: jax.Array,
+                   dct_mats: Tuple[jax.Array, ...], eigs: jax.Array,
+                   rho: jax.Array, cbar: jax.Array,
+                   scales: Tuple[jax.Array, ...], n_steps: int,
+                   interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """One-kernel DCT-preconditioned CG x-update (p=2).  Returns
+    (x, ||r||^2 after the last step)."""
+    dtype = b.dtype
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        jnp.asarray(cbar, dtype),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+    ])
+    t0 = dct_mats[0].astype(jnp.bfloat16)
+    t1 = dct_mats[1].astype(jnp.bfloat16)
+    x, rsq = pl.pallas_call(
+        functools.partial(_xupdate_kernel, n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(b, x0, counts, t0, t1, eigs, scal)
+    return x, rsq[0]
+
+
+def xupdate_supported(m: Tuple[int, ...], binaries) -> bool:
+    """The one-kernel x-update needs ~10 lattice-sized f32 buffers plus
+    the two DCT matrices resident in VMEM (~16 MB/core): p == 2, full C++
+    block set, lattice <= 512^2 f32, axes small enough for the matrices."""
+    if len(m) != 2 or len(binaries) != 3:
+        return False
+    lattice_bytes = int(np.prod(m)) * 4
+    mat_bytes = 2 * (m[0] * m[0] + m[1] * m[1])
+    return lattice_bytes <= (1 << 20) and mat_bytes <= (2 << 20)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 4: fused x-update right-hand side b = oty + rho D'(alpha + u)
 # ---------------------------------------------------------------------------
 
 def _rhs_kernel(a0_ref, a1_ref, a2_ref, u0_ref, u1_ref, u2_ref, oty_ref,

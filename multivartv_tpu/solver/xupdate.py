@@ -43,12 +43,19 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         return x, jnp.zeros((), jnp.int32)
 
     if use_pallas and cfg.x_solver == "dct_pcg" and ops.dct_mats is not None:
-        # Fully-fused path: stencil matvec (+dot) in one Pallas kernel,
-        # preconditioner dot computed in the DCT eigenbasis for free.
         from multivartv_tpu.ops import pallas_kernels as pk
+        from multivartv_tpu.solver.cg import _poison_if_nonfinite
         eigs = ops.gram_eigs
         mats = ops.dct_mats
         n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
+
+        if pk.xupdate_supported(ops.m, ops.binaries):
+            # The entire PCG solve in ONE kernel: CG vectors stay
+            # VMEM-resident, DCT transforms run as MXU matmuls in-kernel.
+            x, rsq = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho, cbar,
+                                       ops.scales, n_steps)
+            return (_poison_if_nonfinite(x, rsq),
+                    jnp.asarray(n_steps, jnp.int32))
 
         def matvec_dot(v):
             return pk.gram_matvec_2d(v, counts, rho, ops.scales)

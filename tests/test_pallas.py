@@ -91,6 +91,46 @@ def test_rhs_matches_jnp(setup):
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_xupdate_kernel_matches_pcg(setup):
+    """One-kernel PCG x-update vs the jnp pcg_fixed reference (bf16 DCT
+    transforms in the kernel => loose-ish tolerance on the solution)."""
+    from multivartv_tpu.ops import dct as dct_ops
+    from multivartv_tpu.solver.cg import pcg_fixed
+
+    m, bins, scales, theta, counts, u = setup
+    rng = np.random.RandomState(11)
+    b = jnp.asarray(rng.randn(*m).astype(np.float32))
+    x0 = jnp.zeros(m, jnp.float32)
+    rho = jnp.asarray(0.7, jnp.float32)
+    deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+    eigs = dct_ops.gram_eigenvalues(m, deltas, True, jnp.float32)
+    mats = dct_ops.dct_matrices(m, jnp.float32)
+    cbar = jnp.mean(counts)
+
+    got, rsq = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho, cbar,
+                                 scales, n_steps=3, interpret=True)
+
+    def matvec(v):
+        return counts * v + rho * diff.apply_gram(v, bins, scales)
+
+    def precond(r):
+        return dct_ops.idctn_mat(
+            dct_ops.dctn_mat(r, mats) / (cbar + rho * eigs), mats)
+
+    want = pcg_fixed(matvec, b, x0, precond=precond, n_iters=3)
+    # Identical algorithm; the bf16 transform only perturbs the
+    # preconditioner, so the solutions track each other tightly.
+    assert np.allclose(np.asarray(got), np.asarray(want.x),
+                       rtol=2e-2, atol=2e-2)
+    # With enough steps the kernel's solve is accurate in its own right.
+    got10, rsq10 = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho, cbar,
+                                     scales, n_steps=10, interpret=True)
+    res = matvec(got10) - b
+    rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b))
+    assert rel < 5e-3
+    assert np.isfinite(float(rsq)) and np.isfinite(float(rsq10))
+
+
 def test_supported_gate():
     bins2 = diff.fd_binaries(2)
     bins3 = diff.fd_binaries(3)
