@@ -49,6 +49,13 @@ class SolverConfig:
     # residuals and updates stay float32 — but M becomes slightly inexact,
     # so it is opt-in.
     precond_bf16: bool = False
+    # Convergence-check cadence for the fused multi-iteration kernel: run
+    # this many ADMM iterations per kernel launch between Boyd stopping
+    # checks (state stays VMEM-resident in between).  1 = check every
+    # iteration (exact reference stopping semantics); k > 1 may overshoot
+    # convergence by up to k-1 iterations, which only polishes the
+    # solution.  Ignored where the fused kernel does not apply.
+    chunk_iters: int = 1
     # Include the all-ones (full mixed partial) difference block.  The
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).

@@ -97,6 +97,136 @@ def idctn_mat(x: jax.Array, mats: Sequence[jax.Array]) -> jax.Array:
     return _cyclic_transform(x, mats, 0)
 
 
+# -- Folded (even/odd symmetric) DCT: HALF the matmul FLOPs. -------------
+#
+# The DCT-II matrix satisfies T[k, n-1-j] = (-1)^k T[k, j], so folding the
+# input (s = top + flip(bottom), d = top - flip(bottom)) splits the dense
+# (n x n) contraction into two (n/2 x n/2) contractions — 2x fewer MXU
+# FLOPs per axis.  The spectrum is produced in PACKED order (even
+# frequencies first, then odd); since the solver only ever applies
+# elementwise spectral weights, the permutation is absorbed into the
+# weight vector once (pack_spectrum) and never materialized.
+
+def dct_packed_halves(n: int, dtype=jnp.float32) -> Tuple[jax.Array, jax.Array]:
+    """(Te, To): rows = even/odd DCT-II frequencies, columns = first n/2
+    spatial points.  Requires even n."""
+    assert n % 2 == 0
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    t = np.cos(np.pi * k * (2.0 * i + 1.0) / (2.0 * n))
+    t[0] *= np.sqrt(1.0 / n)
+    t[1:] *= np.sqrt(2.0 / n)
+    h = n // 2
+    return jnp.asarray(t[0::2, :h], dtype), jnp.asarray(t[1::2, :h], dtype)
+
+
+def packed_order(n: int) -> np.ndarray:
+    """Permutation taking natural frequency order -> packed (even, odd)."""
+    return np.concatenate([np.arange(0, n, 2), np.arange(1, n, 2)])
+
+
+def pack_spectrum(x: jax.Array) -> jax.Array:
+    """Permute every axis of a spectral-domain array into packed order."""
+    for ax in range(x.ndim):
+        x = jnp.take(x, jnp.asarray(packed_order(x.shape[ax])), axis=ax)
+    return x
+
+
+def exchange_matrix(h: int, dtype=jnp.float32) -> jax.Array:
+    """The h x h reversal permutation (symmetric, involutive).  Mosaic has
+    no lane/sublane reversal primitive (lax.rev is unlowerable), so inside
+    Pallas kernels the fold's flip runs as an MXU matmul with this matrix —
+    a quarter of a dense axis transform, keeping the folded DCT at 0.75x
+    the dense FLOPs instead of 0.5x."""
+    return jnp.asarray(np.eye(h)[::-1].copy(), dtype)
+
+
+def _flip0(x, flip_mat, md, out_dtype):
+    """flip(x, axis=0) — jnp.flip off-kernel, exchange matmul in-kernel."""
+    if flip_mat is None:
+        return jnp.flip(x, axis=0)
+    return jax.lax.dot_general(
+        flip_mat.astype(md), x.astype(md), (((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype)
+
+
+def _flip1(x, flip_mat, md, out_dtype):
+    """flip(x, axis=1) — jnp.flip off-kernel, exchange matmul in-kernel."""
+    if flip_mat is None:
+        return jnp.flip(x, axis=1)
+    return jax.lax.dot_general(
+        x.astype(md), flip_mat.astype(md), (((1,), (0,)), ((), ())),
+        preferred_element_type=out_dtype)
+
+
+def dct2_packed(v: jax.Array, halves0, halves1,
+                mat_dtype=None, flips=None) -> jax.Array:
+    """2-D DCT-II with packed-order output via folded half-size matmuls.
+
+    halves{0,1} = dct_packed_halves(m{0,1}); when mat_dtype is bfloat16 the
+    matmuls run on the MXU at the bf16 rate with f32 accumulation (folds
+    stay f32 on the VPU).  Works identically inside Pallas kernels when
+    flips=(R0, R1) exchange matrices are supplied (Mosaic cannot lower
+    lax.rev; see exchange_matrix).
+    """
+    te0, to0 = halves0
+    te1, to1 = halves1
+    dtype = v.dtype
+    h0 = v.shape[0] // 2
+    h1 = v.shape[1] // 2
+    md = mat_dtype or te0.dtype
+    f0 = flips[0] if flips is not None else None
+    f1 = flips[1] if flips is not None else None
+
+    top, bot = v[:h0], _flip0(v[h0:], f0, md, dtype)
+    s0 = (top + bot).astype(md)
+    d0 = (top - bot).astype(md)
+    tmp = jnp.concatenate([
+        jax.lax.dot_general(te0.astype(md), s0, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype),
+        jax.lax.dot_general(to0.astype(md), d0, (((1,), (0,)), ((), ())),
+                            preferred_element_type=dtype),
+    ], axis=0)
+    left, right = tmp[:, :h1], _flip1(tmp[:, h1:], f1, md, dtype)
+    s1 = (left + right).astype(md)
+    d1 = (left - right).astype(md)
+    return jnp.concatenate([
+        jax.lax.dot_general(s1, te1.astype(md), (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype),
+        jax.lax.dot_general(d1, to1.astype(md), (((1,), (1,)), ((), ())),
+                            preferred_element_type=dtype),
+    ], axis=1)
+
+
+def idct2_packed(y: jax.Array, halves0, halves1,
+                 mat_dtype=None, flips=None) -> jax.Array:
+    """Inverse of dct2_packed (packed-order input, natural-order output)."""
+    te0, to0 = halves0
+    te1, to1 = halves1
+    dtype = y.dtype
+    h0 = y.shape[0] // 2
+    h1 = y.shape[1] // 2
+    md = mat_dtype or te0.dtype
+    f0 = flips[0] if flips is not None else None
+    f1 = flips[1] if flips is not None else None
+
+    ye = y[:h0].astype(md)
+    yo = y[h0:].astype(md)
+    a = jax.lax.dot_general(te0.astype(md), ye, (((0,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+    b = jax.lax.dot_general(to0.astype(md), yo, (((0,), (0,)), ((), ())),
+                            preferred_element_type=dtype)
+    x = jnp.concatenate([a + b, _flip0(a - b, f0, md, dtype)], axis=0)
+    xe = x[:, :h1].astype(md)
+    xo = x[:, h1:].astype(md)
+    aa = jax.lax.dot_general(xe, te1.astype(md), (((1,), (0,)), ((), ())),
+                             preferred_element_type=dtype)
+    bb = jax.lax.dot_general(xo, to1.astype(md), (((1,), (0,)), ((), ())),
+                             preferred_element_type=dtype)
+    return jnp.concatenate([aa + bb, _flip1(aa - bb, f1, md, dtype)],
+                           axis=1)
+
+
 def neumann_eigenvalues(n: int, dtype=jnp.float32) -> jax.Array:
     """Eigenvalues of the 1-D Neumann Laplacian Delta'Delta of size n."""
     k = jnp.arange(n, dtype=dtype)

@@ -322,6 +322,105 @@ def _xupdate_kernel(n_steps, b_ref, x_ref, counts_ref, t0_ref, t1_ref,
     rsq_ref[0] = jnp.sum(r * r)
 
 
+def _xupdate_kernel_packed(n_steps, b_ref, x_ref, counts_ref,
+                           te0_ref, to0_ref, te1_ref, to1_ref,
+                           r0_ref, r1_ref,
+                           eigs_ref, scal_ref, xout_ref, rsq_ref):
+    """Same PCG solve as _xupdate_kernel, but each DCT transform runs as
+    two HALF-size bf16 MXU matmuls via the DCT-II even/odd fold
+    (ops/dct.py::dct2_packed) — 2x fewer matmul FLOPs.  eigs_ref holds the
+    Gram eigenvalues in packed (even, odd) frequency order, absorbing the
+    permutation; CG vectors never leave VMEM."""
+    from multivartv_tpu.ops import dct as dct_ops
+
+    x = x_ref[:]
+    b = b_ref[:]
+    counts = counts_ref[:]
+    eigs = eigs_ref[:]
+    dtype = b.dtype
+    mask0, mask1 = _masks(b.shape, dtype)
+    rho = scal_ref[0]
+    cbar = scal_ref[1]
+    g_mix = rho * scal_ref[2] * scal_ref[2]
+    g_ax1 = rho * scal_ref[3] * scal_ref[3]
+    g_ax0 = rho * scal_ref[4] * scal_ref[4]
+    w = cbar + rho * eigs
+    eps = jnp.asarray(1e-30, dtype)
+    h0 = (te0_ref[:], to0_ref[:])
+    h1 = (te1_ref[:], to1_ref[:])
+    flips = (r0_ref[:], r1_ref[:])
+    md = jnp.bfloat16
+
+    def matvec(v):
+        d1 = _fwd1(v, mask1)
+        d0 = _fwd0(v, mask0)
+        dm = _fwd1(d0, mask1)
+        acc = g_ax1 * _adj1(d1) + g_ax0 * _adj0(d0) + g_mix * _adj0(_adj1(dm))
+        return counts * v + acc
+
+    def precond(r):
+        rhat = dct_ops.dct2_packed(r, h0, h1, mat_dtype=md, flips=flips)
+        zhat = rhat / w
+        rz = jnp.sum(rhat * zhat)
+        return dct_ops.idct2_packed(zhat, h0, h1, mat_dtype=md,
+                                    flips=flips), rz
+
+    r = b - matvec(x)
+    z, rz = precond(r)
+    p = z
+    for _ in range(n_steps):
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        alpha = rz / jnp.maximum(pap, eps)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z, rz_new = precond(r)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = z + beta * p
+        rz = rz_new
+    xout_ref[:] = x
+    rsq_ref[0] = jnp.sum(r * r)
+
+
+def xupdate_pcg_2d_packed(b: jax.Array, x0: jax.Array, counts: jax.Array,
+                          dct_halves, eigs_packed: jax.Array,
+                          rho: jax.Array, cbar: jax.Array,
+                          scales: Tuple[jax.Array, ...], n_steps: int,
+                          interpret: bool = False):
+    """One-kernel folded-DCT-preconditioned CG x-update (p=2, even axes).
+    Returns (x, ||r||^2 after the last step)."""
+    dtype = b.dtype
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        jnp.asarray(cbar, dtype),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+    ])
+    te0 = dct_halves[0][0].astype(jnp.bfloat16)
+    to0 = dct_halves[0][1].astype(jnp.bfloat16)
+    te1 = dct_halves[1][0].astype(jnp.bfloat16)
+    to1 = dct_halves[1][1].astype(jnp.bfloat16)
+    from multivartv_tpu.ops import dct as dct_ops
+    r0 = dct_ops.exchange_matrix(b.shape[0] // 2, jnp.bfloat16)
+    r1 = dct_ops.exchange_matrix(b.shape[1] // 2, jnp.bfloat16)
+    x, rsq = pl.pallas_call(
+        functools.partial(_xupdate_kernel_packed, n_steps),
+        out_shape=(
+            jax.ShapeDtypeStruct(b.shape, dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(b, x0, counts, te0, to0, te1, to1, r0, r1, eigs_packed, scal)
+    return x, rsq[0]
+
+
 def xupdate_pcg_2d(b: jax.Array, x0: jax.Array, counts: jax.Array,
                    dct_mats: Tuple[jax.Array, ...], eigs: jax.Array,
                    rho: jax.Array, cbar: jax.Array,
@@ -418,3 +517,229 @@ def supported(m: Tuple[int, ...], binaries) -> bool:
     if len(m) != 2 or len(binaries) != 3:
         return False
     return int(np.prod(m)) * 4 <= 4 * 1024 * 1024  # <=1024^2 f32
+
+
+# ---------------------------------------------------------------------------
+# Kernel 5: K FULL ADMM ITERATIONS in one kernel.
+#
+# The per-iteration chain (rhs -> PCG x-update -> dual stage -> rho
+# adaptation) runs entirely in VMEM: theta / u / alpha are aliased
+# input-output buffers, so the ADMM state never round-trips HBM between
+# iterations — the only HBM traffic for K iterations is the one-time load
+# of (counts, oty, DCT halves, eigenvalues) plus the aliased state.  Math
+# is identical, iteration for iteration, to solver/admm.py::body (reference
+# admm_update, solvers.cpp:96-136): Boyd residual statistics and adaptive
+# rho (tau/band with inverse dual rescale) are computed every iteration.
+# ---------------------------------------------------------------------------
+
+def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
+                       theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
+                       counts_ref, oty_ref, te0_ref, to0_ref, te1_ref,
+                       to1_ref, r0_ref, r1_ref, eigs_ref, scal_ref,
+                       theta_ref, u0_ref, u1_ref, u2_ref,
+                       a0_ref, a1_ref, a2_ref, scal_out, stats_out):
+    """scal_ref (SMEM, (7,)): [lam, rho, u_scale, s_mix, s_ax1, s_ax0, cbar].
+    scal_out (SMEM, (2,)): [rho, u_scale] after the last iteration.
+    stats_out (SMEM, (6,)): [||r||^2, ||Dtheta||^2, ||alpha||^2, ||D'r||^2,
+    ||D'u||^2, cg ||res||^2] of the last iteration.  The *_in refs alias the
+    corresponding output refs (state lives in one buffer); all state
+    reads/writes go through the output refs."""
+    from multivartv_tpu.ops import dct as dct_ops
+
+    del theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in  # aliased
+    dtype = counts_ref.dtype
+    shape = counts_ref.shape
+    mask0, mask1 = _masks(shape, dtype)
+    lam = scal_ref[0]
+    s_mix = scal_ref[3]
+    s_ax1 = scal_ref[4]
+    s_ax0 = scal_ref[5]
+    cbar = scal_ref[6]
+    counts = counts_ref[:]
+    oty = oty_ref[:]
+    h0 = (te0_ref[:], to0_ref[:])
+    h1 = (te1_ref[:], to1_ref[:])
+    flips = (r0_ref[:], r1_ref[:])
+    md = jnp.bfloat16
+    eps = jnp.asarray(1e-30, dtype)
+
+    def adjD(w0, w1, w2):
+        return (s_mix * _adj0(_adj1(w0)) + s_ax1 * _adj1(w1)
+                + s_ax0 * _adj0(w2))
+
+    def body(_, carry):
+        rho, uscale = carry
+        g_mix = rho * s_mix * s_mix
+        g_ax1 = rho * s_ax1 * s_ax1
+        g_ax0 = rho * s_ax0 * s_ax0
+
+        def matvec(v):
+            d1 = _fwd1(v, mask1)
+            d0 = _fwd0(v, mask0)
+            dm = _fwd1(d0, mask1)
+            acc = (g_ax1 * _adj1(d1) + g_ax0 * _adj0(d0)
+                   + g_mix * _adj0(_adj1(dm)))
+            return counts * v + acc
+
+        def precond(r):
+            # eigs live as bf16 (preconditioner-only data; the weights
+            # need no precision) — halves their VMEM residency.
+            rhat = dct_ops.dct2_packed(r, h0, h1, mat_dtype=md, flips=flips)
+            zhat = rhat / (cbar + rho * eigs_ref[:].astype(dtype))
+            rz = jnp.sum(rhat * zhat)
+            return dct_ops.idct2_packed(zhat, h0, h1, mat_dtype=md,
+                                        flips=flips), rz
+
+        # --- x-update rhs: b = oty + rho D'(alpha + uscale*u) ------------
+        ue0 = uscale * u0_ref[:]
+        ue1 = uscale * u1_ref[:]
+        ue2 = uscale * u2_ref[:]
+
+        # --- x-update: folded-DCT-preconditioned CG ----------------------
+        # (b = oty + rho D'(alpha + uscale*u) folded straight into the
+        # initial residual — never materialized on the VMEM stack.)
+        x = theta_ref[:]
+        r = (oty + rho * adjD(a0_ref[:] + ue0, a1_ref[:] + ue1,
+                              a2_ref[:] + ue2)) - matvec(x)
+        z, rz = precond(r)
+        p = z
+        for _ in range(n_steps):
+            ap = matvec(p)
+            pap = jnp.sum(p * ap)
+            al = rz / jnp.maximum(pap, eps)
+            x = x + al * p
+            r = r - al * ap
+            z, rz_new = precond(r)
+            beta = rz_new / jnp.maximum(rz, eps)
+            p = z + beta * p
+            rz = rz_new
+        theta_ref[:] = x
+        stats_out[5] = jnp.sum(r * r)
+
+        # --- z/dual stage + Boyd statistics ------------------------------
+        d0 = _fwd0(x, mask0)
+        dt_mix = s_mix * _fwd1(d0, mask1)
+        dt_ax1 = s_ax1 * _fwd1(x, mask1)
+        dt_ax0 = s_ax0 * d0
+        kappa = lam / rho
+
+        def soft(zv):
+            return jnp.sign(zv) * jnp.maximum(jnp.abs(zv) - kappa, 0.0)
+
+        na0 = soft(dt_mix - ue0)
+        na1 = soft(dt_ax1 - ue1)
+        na2 = soft(dt_ax0 - ue2)
+        r0 = na0 - dt_mix
+        r1 = na1 - dt_ax1
+        r2 = na2 - dt_ax0
+        un0 = ue0 + r0
+        un1 = ue1 + r1
+        un2 = ue2 + r2
+        a0_ref[:] = na0
+        a1_ref[:] = na1
+        a2_ref[:] = na2
+        u0_ref[:] = un0
+        u1_ref[:] = un1
+        u2_ref[:] = un2
+
+        prim_sq = jnp.sum(r0 * r0) + jnp.sum(r1 * r1) + jnp.sum(r2 * r2)
+        dt_sq = (jnp.sum(dt_mix * dt_mix) + jnp.sum(dt_ax1 * dt_ax1)
+                 + jnp.sum(dt_ax0 * dt_ax0))
+        a_sq = (jnp.sum(na0 * na0) + jnp.sum(na1 * na1)
+                + jnp.sum(na2 * na2))
+        dtr = adjD(r0, r1, r2)
+        dtu = adjD(un0, un1, un2)
+        dtr_sq = jnp.sum(dtr * dtr)
+        dtu_sq = jnp.sum(dtu * dtu)
+        stats_out[0] = prim_sq
+        stats_out[1] = dt_sq
+        stats_out[2] = a_sq
+        stats_out[3] = dtr_sq
+        stats_out[4] = dtu_sq
+
+        # --- adaptive rho (reference adapt_step, solvers.cpp:77-94) ------
+        if adapt:
+            pn = jnp.sqrt(prim_sq)
+            dn = rho * jnp.sqrt(dtr_sq)
+            tau_ = jnp.asarray(tau, dtype)
+            band_ = jnp.asarray(band, dtype)
+            grow = pn > band_ * dn
+            shrink = dn > band_ * pn
+            factor = jnp.where(grow, tau_,
+                               jnp.where(shrink, 1.0 / tau_, 1.0))
+            rho = rho * factor
+            uscale = 1.0 / factor
+        else:
+            uscale = jnp.ones((), dtype)
+        return rho, uscale
+
+    rho, uscale = jax.lax.fori_loop(
+        0, k_iters, body, (scal_ref[1], scal_ref[2]))
+    scal_out[0] = rho
+    scal_out[1] = uscale
+
+
+def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
+                  alpha: Tuple[jax.Array, ...], counts: jax.Array,
+                  oty: jax.Array, dct_halves, eigs_packed: jax.Array,
+                  lam: jax.Array, rho: jax.Array, u_scale: jax.Array,
+                  cbar: jax.Array, scales: Tuple[jax.Array, ...],
+                  k_iters: int, n_steps: int, adapt: bool = True,
+                  tau: float = 2.0, band: float = 10.0,
+                  interpret: bool = False):
+    """Run k_iters full ADMM iterations in ONE kernel (p=2, even axes).
+
+    Returns (theta, u (3), alpha (3), rho, u_scale, stats (6,)) where stats
+    holds the last iteration's Boyd reductions + CG residual (see
+    _admm_iters_kernel).  State buffers are donated (aliased in-place).
+    """
+    dtype = theta.dtype
+    scal = jnp.stack([
+        jnp.asarray(lam, dtype),
+        jnp.asarray(rho, dtype),
+        jnp.asarray(u_scale, dtype),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+        jnp.asarray(cbar, dtype),
+    ])
+    te0 = dct_halves[0][0].astype(jnp.bfloat16)
+    to0 = dct_halves[0][1].astype(jnp.bfloat16)
+    te1 = dct_halves[1][0].astype(jnp.bfloat16)
+    to1 = dct_halves[1][1].astype(jnp.bfloat16)
+    from multivartv_tpu.ops import dct as dct_ops
+    r0 = dct_ops.exchange_matrix(theta.shape[0] // 2, jnp.bfloat16)
+    r1 = dct_ops.exchange_matrix(theta.shape[1] // 2, jnp.bfloat16)
+    eigs_packed = eigs_packed.astype(jnp.bfloat16)
+    shp = jax.ShapeDtypeStruct(theta.shape, dtype)
+    outs = pl.pallas_call(
+        functools.partial(_admm_iters_kernel, k_iters, n_steps, adapt,
+                          tau, band),
+        out_shape=(
+            shp, shp, shp, shp, shp, shp, shp,
+            jax.ShapeDtypeStruct((2,), dtype),
+            jax.ShapeDtypeStruct((6,), dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 16
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
+        interpret=interpret,
+    )(theta, u[0], u[1], u[2], alpha[0], alpha[1], alpha[2],
+      counts, oty, te0, to0, te1, to1, r0, r1, eigs_packed, scal)
+    new_theta = outs[0]
+    new_u = outs[1:4]
+    new_alpha = outs[4:7]
+    rho_scale = outs[7]
+    stats = outs[8]
+    return (new_theta, new_u, new_alpha, rho_scale[0], rho_scale[1], stats)

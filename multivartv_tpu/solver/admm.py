@@ -173,11 +173,85 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     return body
 
 
+def fused_iterations_available(ops: Operators, problem: Problem,
+                               cfg: SolverConfig, batched: bool) -> bool:
+    """Whether the one-kernel multi-iteration ADMM path applies: the 2-D
+    whole-lattice-in-VMEM regime with the folded-DCT x-update."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    return (
+        cfg.use_pallas
+        and not batched
+        and cfg.x_solver == "dct_pcg"
+        and ops.dct_halves is not None
+        and ops.gram_eigs_packed is not None
+        and pk.xupdate_supported(ops.m, ops.binaries)
+        and jax.default_backend() == "tpu"
+        and problem.counts.ndim == len(ops.m)
+    )
+
+
+def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
+                     state: ADMMState, cfg: SolverConfig,
+                     k_iters: int) -> ADMMState:
+    """k_iters full ADMM iterations in ONE Pallas kernel — state stays
+    VMEM-resident between iterations (ops/pallas_kernels.py::admm_iters_2d).
+    Iteration-for-iteration identical math to make_admm_iteration."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    dtype = problem.oty.dtype
+    lam = jnp.asarray(lam, dtype)
+    tol = jnp.asarray(cfg.tol, dtype)
+    sqrt_ntheta = jnp.asarray(math.sqrt(ops.ntheta), dtype)
+    sqrt_rowsd = jnp.asarray(math.sqrt(ops.rows_d), dtype)
+    cbar = jnp.sum(problem.counts) / ops.ntheta
+    n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
+
+    theta, u, alpha, rho, u_scale, stats = pk.admm_iters_2d(
+        state.theta, state.u, state.alpha, problem.counts, problem.oty,
+        ops.dct_halves, ops.gram_eigs_packed, lam, state.rho, state.u_scale,
+        cbar, ops.scales, k_iters=k_iters, n_steps=n_steps,
+        adapt=cfg.adapt_rho, tau=cfg.adapt_tau, band=cfg.adapt_band)
+
+    primal_norm = jnp.sqrt(stats[0])
+    # The last iteration's dual norm used its *pre-adaptation* rho; with
+    # factor = 1/u_scale, that rho is rho_out * u_scale.
+    rho_pre = rho * u_scale if cfg.adapt_rho else rho
+    dual_norm = rho_pre * jnp.sqrt(stats[3])
+    eps_primal = tol * (sqrt_rowsd
+                        + jnp.maximum(jnp.sqrt(stats[1]), jnp.sqrt(stats[2])))
+    eps_dual = tol * (sqrt_ntheta + jnp.sqrt(stats[4]))
+    # NaN-poison guard (mirrors _poison_if_nonfinite on the per-iteration
+    # path): a non-finite CG residual poisons the norms so the convergence
+    # predicate stops.
+    bad = jnp.logical_not(jnp.isfinite(stats[5]))
+    nan = jnp.asarray(jnp.nan, dtype)
+    primal_norm = jnp.where(bad, nan, primal_norm)
+    return ADMMState(
+        theta=theta,
+        alpha=alpha,
+        u=u,
+        rho=rho,
+        counter=state.counter + k_iters,
+        primal_norm=primal_norm,
+        dual_norm=dual_norm,
+        eps_primal=eps_primal,
+        eps_dual=eps_dual,
+        cg_iters=state.cg_iters + n_steps * k_iters,
+        u_scale=u_scale,
+    )
+
+
 def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
                state: ADMMState, cfg: SolverConfig,
                batched: bool = False) -> ADMMState:
     """Run ADMM at a single lambda until Boyd convergence or the cap."""
-    body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
+    if (cfg.chunk_iters > 1
+            and fused_iterations_available(ops, problem, cfg, batched)):
+        chunk = cfg.chunk_iters
+
+        def body(s: ADMMState) -> ADMMState:
+            return admm_fused_chunk(ops, problem, lam, s, cfg, chunk)
+    else:
+        body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
 
     def cond(s: ADMMState):
         not_done = jnp.logical_or(
@@ -218,7 +292,13 @@ def solver_diagnostics(state: ADMMState) -> dict:
 def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
                           state: ADMMState, cfg: SolverConfig,
                           n_iters: int, batched: bool = False) -> ADMMState:
-    """Run exactly n_iters ADMM iterations (benchmarking / profiling)."""
+    """Run exactly n_iters ADMM iterations (benchmarking / profiling).
+
+    Uses the one-kernel multi-iteration path when available — identical
+    per-iteration math (adaptive rho + Boyd statistics every iteration),
+    with the ADMM state VMEM-resident across all n_iters iterations."""
+    if fused_iterations_available(ops, problem, cfg, batched):
+        return admm_fused_chunk(ops, problem, lam, state, cfg, n_iters)
     body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
     return jax.lax.fori_loop(0, n_iters, lambda _, s: body(s), state)
 

@@ -42,6 +42,11 @@ class Operators:
     # Per-axis dense DCT-II matrices: on TPU the MXU matmul transform beats
     # the FFT lowering for axis sizes up to ~2048.  None -> FFT path.
     dct_mats: Optional[Tuple[jax.Array, ...]] = None
+    # Folded-DCT objects (even axes only): per-axis (Te, To) half matrices
+    # and the Gram eigenvalues permuted into packed (even, odd) frequency
+    # order — HALF the MXU FLOPs per transform (see ops/dct.py).
+    dct_halves: Optional[Tuple[Tuple[jax.Array, jax.Array], ...]] = None
+    gram_eigs_packed: Optional[jax.Array] = None
 
     @property
     def ntheta(self) -> int:
@@ -96,6 +101,11 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         dct_ops.dct_matrices(m, dtype)
         if need_dct and max(m) <= 2048 else None
     )
+    dct_halves = None
+    gram_eigs_packed = None
+    if dct_mats is not None and all(v % 2 == 0 for v in m):
+        dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
+        gram_eigs_packed = dct_ops.pack_spectrum(gram_eigs)
     return Operators(
         binaries=binaries,
         m=m,
@@ -103,6 +113,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         gram_eigs=gram_eigs,
         gram_diagonal=gram_diagonal,
         dct_mats=dct_mats,
+        dct_halves=dct_halves,
+        gram_eigs_packed=gram_eigs_packed,
     )
 
 

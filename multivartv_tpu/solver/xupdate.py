@@ -52,8 +52,14 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         if pk.xupdate_supported(ops.m, ops.binaries):
             # The entire PCG solve in ONE kernel: CG vectors stay
             # VMEM-resident, DCT transforms run as MXU matmuls in-kernel.
-            x, rsq = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho, cbar,
-                                       ops.scales, n_steps)
+            if ops.dct_halves is not None:
+                # Folded DCT: half the matmul FLOPs (ops/dct.py).
+                x, rsq = pk.xupdate_pcg_2d_packed(
+                    b, x0, counts, ops.dct_halves, ops.gram_eigs_packed,
+                    rho, cbar, ops.scales, n_steps)
+            else:
+                x, rsq = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho,
+                                           cbar, ops.scales, n_steps)
             return (_poison_if_nonfinite(x, rsq),
                     jnp.asarray(n_steps, jnp.int32))
 

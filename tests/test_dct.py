@@ -87,3 +87,33 @@ def test_gram_pinv_is_projection(rng):
     assert np.allclose(np.asarray(back), want, atol=1e-3)
     # And x itself is mean-free (pinv range).
     assert abs(float(jnp.mean(x))) < 1e-4
+
+
+def test_packed_dct_matches_dense(rng):
+    """Folded even/odd DCT (half-size matmuls, packed frequency order)
+    is an exact reordering of the dense transform (ops/dct.py)."""
+    m = (16, 24)
+    v = jnp.asarray(rng.randn(*m).astype(np.float32))
+    mats = dct.dct_matrices(m)
+    halves = tuple(dct.dct_packed_halves(n) for n in m)
+    got = dct.dct2_packed(v, halves[0], halves[1])
+    want = dct.pack_spectrum(dct.dctn_mat(v, mats))
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    back = dct.idct2_packed(got, halves[0], halves[1])
+    assert np.allclose(np.asarray(back), np.asarray(v), atol=1e-5)
+
+
+def test_packed_spectral_solve_matches_dense(rng):
+    """Elementwise spectral weighting commutes with the packed order."""
+    m = (32, 16)
+    deltas = jnp.asarray([0.3, 0.7], jnp.float32)
+    v = jnp.asarray(rng.randn(*m).astype(np.float32))
+    mats = dct.dct_matrices(m)
+    halves = tuple(dct.dct_packed_halves(n) for n in m)
+    eigs = dct.gram_eigenvalues(m, deltas)
+    w = 1.5 + 0.2 * eigs
+    want = dct.idctn_mat(dct.dctn_mat(v, mats) / w, mats)
+    got = dct.idct2_packed(
+        dct.dct2_packed(v, halves[0], halves[1]) / dct.pack_spectrum(w),
+        halves[0], halves[1])
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)

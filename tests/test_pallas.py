@@ -139,3 +139,81 @@ def test_supported_gate():
     assert not pk.supported((2048, 2048), bins2)
     assert not pk.supported((8, 8, 8), bins3)
     assert not pk.supported((16, 16), diff.fd_binaries(2, False))
+
+
+def test_xupdate_packed_matches_dense(setup):
+    """Folded-DCT one-kernel x-update == dense-DCT one-kernel x-update
+    (identical PCG; only bf16 rounding order in the preconditioner
+    differs)."""
+    from multivartv_tpu.ops import dct as dct_ops
+
+    m, bins, scales, theta, counts, u = setup
+    rng = np.random.RandomState(13)
+    b = jnp.asarray(rng.randn(*m).astype(np.float32))
+    x0 = jnp.zeros(m, jnp.float32)
+    rho = jnp.asarray(0.7, jnp.float32)
+    deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+    eigs = dct_ops.gram_eigenvalues(m, deltas, True, jnp.float32)
+    mats = dct_ops.dct_matrices(m, jnp.float32)
+    halves = tuple(dct_ops.dct_packed_halves(n) for n in m)
+    cbar = jnp.mean(counts)
+
+    xd, rd = pk.xupdate_pcg_2d(b, x0, counts, mats, eigs, rho, cbar,
+                               scales, n_steps=3, interpret=True)
+    xp, rp = pk.xupdate_pcg_2d_packed(b, x0, counts, halves,
+                                      dct_ops.pack_spectrum(eigs), rho,
+                                      cbar, scales, n_steps=3,
+                                      interpret=True)
+    assert np.allclose(np.asarray(xp), np.asarray(xd), rtol=2e-2, atol=2e-2)
+    # And it is an accurate solve in its own right with enough steps.
+    xp10, _ = pk.xupdate_pcg_2d_packed(b, x0, counts, halves,
+                                       dct_ops.pack_spectrum(eigs), rho,
+                                       cbar, scales, n_steps=10,
+                                       interpret=True)
+    res = counts * xp10 + rho * diff.apply_gram(xp10, bins, scales) - b
+    rel = float(jnp.linalg.norm(res) / jnp.linalg.norm(b))
+    assert rel < 5e-3
+
+
+def test_fused_admm_iterations_match_loop(setup):
+    """K ADMM iterations in one kernel (admm_iters_2d) track K applications
+    of the jnp per-iteration body: same rho/u_scale trajectory, same Boyd
+    statistics, iterates equal up to bf16-preconditioner rounding."""
+    from multivartv_tpu.config import SolverConfig
+    from multivartv_tpu.ops import dct as dct_ops
+    from multivartv_tpu.solver import admm
+    from multivartv_tpu.solver.problem import Problem, build_operators
+
+    m, bins, scales, theta, counts, u = setup
+    rng = np.random.RandomState(17)
+    cfg = SolverConfig(cg_fixed_iters=3)
+    deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32))
+    problem = Problem(counts=counts, oty=oty, ybar=jnp.mean(oty),
+                      flat_idx=jnp.zeros((1,), jnp.int32),
+                      y=jnp.zeros((1,), jnp.float32))
+    lam = jnp.asarray(0.08, jnp.float32)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+
+    body = admm.make_admm_iteration(ops, problem, lam, cfg, batched=True)
+    K = 7
+    s = s0
+    for _ in range(K):
+        s = body(s)
+
+    cbar = jnp.sum(counts) / ops.ntheta
+    th, u_new, al, rho, uscale, stats = pk.admm_iters_2d(
+        s0.theta, s0.u, s0.alpha, counts, oty, ops.dct_halves,
+        ops.gram_eigs_packed, lam, s0.rho, s0.u_scale, cbar, ops.scales,
+        k_iters=K, n_steps=3, adapt=cfg.adapt_rho, tau=cfg.adapt_tau,
+        band=cfg.adapt_band, interpret=True)
+
+    scale = float(jnp.max(jnp.abs(s.theta)))
+    assert float(jnp.max(jnp.abs(th - s.theta))) < 5e-3 * scale
+    assert np.isclose(float(rho), float(s.rho))
+    assert np.isclose(float(uscale), float(s.u_scale))
+    assert np.isclose(float(jnp.sqrt(stats[0])), float(s.primal_norm),
+                      rtol=1e-2)
+    assert np.isclose(float(rho * uscale * jnp.sqrt(stats[3])),
+                      float(s.dual_norm), rtol=1e-2)
