@@ -112,10 +112,12 @@ def _jit_lambda_grid(ops: Operators, problem: Problem, deltas: jax.Array,
     return lmax, path_lib.create_lambdas(lmax, pcfg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "pcfg"))
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "progress"))
 def _jit_final_path(ops: Operators, problem: Problem, lambdas: jax.Array,
-                    ftrue: jax.Array, cfg: SolverConfig, pcfg: PathConfig):
-    res = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg, ftrue=ftrue)
+                    ftrue: jax.Array, cfg: SolverConfig, pcfg: PathConfig,
+                    progress: bool = False):
+    res = path_lib.solve_path(ops, problem, lambdas, cfg, pcfg, ftrue=ftrue,
+                              progress=progress)
     return res
 
 
@@ -260,7 +262,8 @@ def mvtv(data, y, m=None, mesh=None, n_lambda: int = 100, ftrue=None,
         # per-lambda MSE vs y, argmin, then a *fresh* solve at the best
         # lambda (mbs_fit_optimal, solvers.cpp:261-274).
         final_path = _jit_final_path(
-            ops, problem, lambda_grid, ftrue_j, solver_config, path_config)
+            ops, problem, lambda_grid, ftrue_j, solver_config, path_config,
+            progress=verbose)
         mse_vs_y = _per_lambda_mse_vs_y(final_path, problem)
         cv_mses = np.asarray(mse_vs_y)
         best_ind = int(np.argmin(cv_mses))
@@ -274,7 +277,8 @@ def mvtv(data, y, m=None, mesh=None, n_lambda: int = 100, ftrue=None,
         cv_mses = np.asarray(cv_mean)
         best_ind = int(np.argmin(cv_mses))
         final_path = _jit_final_path(
-            ops, problem, lambda_grid, ftrue_j, solver_config, path_config)
+            ops, problem, lambda_grid, ftrue_j, solver_config, path_config,
+            progress=verbose)
         if final_path.thetas is not None:
             best_theta = final_path.thetas[best_ind]
             best_fitted = final_path.fitted[best_ind]

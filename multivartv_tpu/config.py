@@ -54,8 +54,13 @@ class SolverConfig:
     # checks (state stays VMEM-resident in between).  1 = check every
     # iteration (exact reference stopping semantics); k > 1 may overshoot
     # convergence by up to k-1 iterations, which only polishes the
-    # solution.  Ignored where the fused kernel does not apply.
-    chunk_iters: int = 1
+    # solution.  The reference iteration cap (max_iters, solvers.cpp:103)
+    # is never overshot: the solver switches to per-iteration steps for
+    # the final < k iterations before the cap.  None = auto: a small
+    # chunk (solver/admm.py::AUTO_CHUNK) wherever the fused kernel
+    # applies, 1 elsewhere.  Ignored where the fused kernel does not
+    # apply.
+    chunk_iters: Optional[int] = None
     # Include the all-ones (full mixed partial) difference block.  The
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).

@@ -532,34 +532,25 @@ def supported(m: Tuple[int, ...], binaries) -> bool:
 # rho (tau/band with inverse dual rescale) are computed every iteration.
 # ---------------------------------------------------------------------------
 
-def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
-                       theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
-                       counts_ref, oty_ref, te0_ref, to0_ref, te1_ref,
-                       to1_ref, r0_ref, r1_ref, eigs_ref, scal_ref,
-                       theta_ref, u0_ref, u1_ref, u2_ref,
-                       a0_ref, a1_ref, a2_ref, scal_out, stats_out):
-    """scal_ref (SMEM, (7,)): [lam, rho, u_scale, s_mix, s_ax1, s_ax0, cbar].
-    scal_out (SMEM, (2,)): [rho, u_scale] after the last iteration.
-    stats_out (SMEM, (6,)): [||r||^2, ||Dtheta||^2, ||alpha||^2, ||D'r||^2,
-    ||D'u||^2, cg ||res||^2] of the last iteration.  The *_in refs alias the
-    corresponding output refs (state lives in one buffer); all state
-    reads/writes go through the output refs."""
+def _admm_chain(k_iters, n_steps, adapt, tau, band,
+                counts, oty, h0, h1, flips, eigs,
+                lam, rho0, uscale0, cbar, s_mix, s_ax1, s_ax0,
+                theta_ref, u0_ref, u1_ref, u2_ref,
+                a0_ref, a1_ref, a2_ref, put_stat):
+    """k_iters full ADMM iterations executed in-place on VMEM refs — the
+    shared core of the single-problem (kernel 5) and batched (kernel 6)
+    fused-iteration kernels.  Math is identical, iteration for iteration,
+    to solver/admm.py::body (reference admm_update, solvers.cpp:96-136).
+
+    counts/oty/eigs/h0/h1/flips are VALUES already loaded from VMEM; the
+    state refs are read and written every iteration; put_stat(i, value)
+    records the last iteration's six reductions ([||r||^2, ||Dtheta||^2,
+    ||alpha||^2, ||D'r||^2, ||D'u||^2, cg ||res||^2]).  Returns
+    (rho, u_scale) after the last iteration."""
     from multivartv_tpu.ops import dct as dct_ops
 
-    del theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in  # aliased
-    dtype = counts_ref.dtype
-    shape = counts_ref.shape
-    mask0, mask1 = _masks(shape, dtype)
-    lam = scal_ref[0]
-    s_mix = scal_ref[3]
-    s_ax1 = scal_ref[4]
-    s_ax0 = scal_ref[5]
-    cbar = scal_ref[6]
-    counts = counts_ref[:]
-    oty = oty_ref[:]
-    h0 = (te0_ref[:], to0_ref[:])
-    h1 = (te1_ref[:], to1_ref[:])
-    flips = (r0_ref[:], r1_ref[:])
+    dtype = counts.dtype
+    mask0, mask1 = _masks(counts.shape, dtype)
     md = jnp.bfloat16
     eps = jnp.asarray(1e-30, dtype)
 
@@ -582,10 +573,11 @@ def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
             return counts * v + acc
 
         def precond(r):
-            # eigs live as bf16 (preconditioner-only data; the weights
-            # need no precision) — halves their VMEM residency.
+            # eigs stay f32, matching xupdate_pcg_2d_packed: the 0.5 MB
+            # VMEM saved by bf16 is not worth a precision asymmetry
+            # between the two packed preconditioner paths.
             rhat = dct_ops.dct2_packed(r, h0, h1, mat_dtype=md, flips=flips)
-            zhat = rhat / (cbar + rho * eigs_ref[:].astype(dtype))
+            zhat = rhat / (cbar + rho * eigs)
             rz = jnp.sum(rhat * zhat)
             return dct_ops.idct2_packed(zhat, h0, h1, mat_dtype=md,
                                         flips=flips), rz
@@ -614,7 +606,7 @@ def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
             p = z + beta * p
             rz = rz_new
         theta_ref[:] = x
-        stats_out[5] = jnp.sum(r * r)
+        put_stat(5, jnp.sum(r * r))
 
         # --- z/dual stage + Boyd statistics ------------------------------
         d0 = _fwd0(x, mask0)
@@ -651,11 +643,11 @@ def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
         dtu = adjD(un0, un1, un2)
         dtr_sq = jnp.sum(dtr * dtr)
         dtu_sq = jnp.sum(dtu * dtu)
-        stats_out[0] = prim_sq
-        stats_out[1] = dt_sq
-        stats_out[2] = a_sq
-        stats_out[3] = dtr_sq
-        stats_out[4] = dtu_sq
+        put_stat(0, prim_sq)
+        put_stat(1, dt_sq)
+        put_stat(2, a_sq)
+        put_stat(3, dtr_sq)
+        put_stat(4, dtu_sq)
 
         # --- adaptive rho (reference adapt_step, solvers.cpp:77-94) ------
         if adapt:
@@ -673,8 +665,34 @@ def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
             uscale = jnp.ones((), dtype)
         return rho, uscale
 
-    rho, uscale = jax.lax.fori_loop(
-        0, k_iters, body, (scal_ref[1], scal_ref[2]))
+    return jax.lax.fori_loop(0, k_iters, body, (rho0, uscale0))
+
+
+def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
+                       theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
+                       counts_ref, oty_ref, te0_ref, to0_ref, te1_ref,
+                       to1_ref, r0_ref, r1_ref, eigs_ref, scal_ref,
+                       theta_ref, u0_ref, u1_ref, u2_ref,
+                       a0_ref, a1_ref, a2_ref, scal_out, stats_out):
+    """scal_ref (SMEM, (7,)): [lam, rho, u_scale, s_mix, s_ax1, s_ax0, cbar].
+    scal_out (SMEM, (2,)): [rho, u_scale] after the last iteration.
+    stats_out (SMEM, (6,)): the last iteration's reductions (_admm_chain).
+    The *_in refs alias the corresponding output refs (state lives in one
+    buffer); all state reads/writes go through the output refs."""
+    del theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in  # aliased
+
+    def put_stat(i, v):
+        stats_out[i] = v
+
+    rho, uscale = _admm_chain(
+        k_iters, n_steps, adapt, tau, band,
+        counts_ref[:], oty_ref[:],
+        (te0_ref[:], to0_ref[:]), (te1_ref[:], to1_ref[:]),
+        (r0_ref[:], r1_ref[:]), eigs_ref[:],
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[6],
+        scal_ref[3], scal_ref[4], scal_ref[5],
+        theta_ref, u0_ref, u1_ref, u2_ref, a0_ref, a1_ref, a2_ref,
+        put_stat)
     scal_out[0] = rho
     scal_out[1] = uscale
 
@@ -710,7 +728,7 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     from multivartv_tpu.ops import dct as dct_ops
     r0 = dct_ops.exchange_matrix(theta.shape[0] // 2, jnp.bfloat16)
     r1 = dct_ops.exchange_matrix(theta.shape[1] // 2, jnp.bfloat16)
-    eigs_packed = eigs_packed.astype(jnp.bfloat16)
+    eigs_packed = eigs_packed.astype(dtype)
     shp = jax.ShapeDtypeStruct(theta.shape, dtype)
     outs = pl.pallas_call(
         functools.partial(_admm_iters_kernel, k_iters, n_steps, adapt,
@@ -743,3 +761,191 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     rho_scale = outs[7]
     stats = outs[8]
     return (new_theta, new_u, new_alpha, rho_scale[0], rho_scale[1], stats)
+
+
+# ---------------------------------------------------------------------------
+# Kernel 6: K FULL ADMM ITERATIONS x B INDEPENDENT PROBLEMS in one kernel.
+#
+# The reference's product path is the 5-fold CV fit (mbs_impl,
+# solvers.cpp:305-376) — B simultaneous solves (CV folds, lambda sweeps,
+# scenario batches).  jax.vmap cannot batch a pallas_call whose scalars
+# live in SMEM, so batching is explicit: grid=(B,), one grid step per
+# problem.  State lives in HBM ((B, m0, m1) buffers, aliased in-place) and
+# is DMA'd through single-buffered VMEM scratch; per-problem scalars
+# (lambda, rho, u_scale, cbar, activity) are full-array SMEM operands
+# indexed by pl.program_id(0); the DCT halves / flip matrices / packed
+# eigenvalues are VMEM-resident operands shared across all grid steps
+# (constant index map -> fetched once).  Each grid step runs k_iters full
+# ADMM iterations via _admm_chain — identical math to kernels 1-5 and to
+# solver/admm.py::body.
+#
+# Problems whose activity flag is 0 (already Boyd-converged in a batched
+# convergent solve) are skipped entirely: no DMA, no compute — their state
+# rows pass through untouched via the input/output aliasing, matching the
+# freeze-when-converged semantics of a vmapped lax.while_loop.
+# ---------------------------------------------------------------------------
+
+def _admm_iters_batched_kernel(k_iters, n_steps, adapt, tau, band,
+                               shared_problem, *refs):
+    if shared_problem:
+        (theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
+         counts_ref, oty_ref, te0, to0, te1, to1, r0f, r1f, eigs_ref,
+         scalb_ref, scalsh_ref, act_ref,
+         theta_out, u0_out, u1_out, u2_out, a0_out, a1_out, a2_out,
+         scal_out, stats_out,
+         theta_s, u0_s, u1_s, u2_s, a0_s, a1_s, a2_s, sems) = refs
+        counts_s = oty_s = None
+    else:
+        (theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
+         counts_ref, oty_ref, te0, to0, te1, to1, r0f, r1f, eigs_ref,
+         scalb_ref, scalsh_ref, act_ref,
+         theta_out, u0_out, u1_out, u2_out, a0_out, a1_out, a2_out,
+         scal_out, stats_out,
+         theta_s, u0_s, u1_s, u2_s, a0_s, a1_s, a2_s,
+         counts_s, oty_s, sems) = refs
+
+    b = pl.program_id(0)
+
+    @pl.when(act_ref[b] != 0)
+    def _():
+        ins = [theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in]
+        scr = [theta_s, u0_s, u1_s, u2_s, a0_s, a1_s, a2_s]
+        if not shared_problem:
+            ins += [counts_ref, oty_ref]
+            scr += [counts_s, oty_s]
+        copies = [pltpu.make_async_copy(r.at[b], s, sems.at[i])
+                  for i, (r, s) in enumerate(zip(ins, scr))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+        counts = counts_ref[:] if shared_problem else counts_s[:]
+        oty = oty_ref[:] if shared_problem else oty_s[:]
+
+        def put_stat(i, v):
+            stats_out[b, i] = v
+
+        rho, uscale = _admm_chain(
+            k_iters, n_steps, adapt, tau, band,
+            counts, oty, (te0[:], to0[:]), (te1[:], to1[:]),
+            (r0f[:], r1f[:]), eigs_ref[:],
+            scalb_ref[b, 0], scalb_ref[b, 1], scalb_ref[b, 2],
+            scalb_ref[b, 3],
+            scalsh_ref[0], scalsh_ref[1], scalsh_ref[2],
+            theta_s, u0_s, u1_s, u2_s, a0_s, a1_s, a2_s, put_stat)
+        scal_out[b, 0] = rho
+        scal_out[b, 1] = uscale
+
+        outs = [theta_out, u0_out, u1_out, u2_out, a0_out, a1_out, a2_out]
+        wc = [pltpu.make_async_copy(s, r.at[b], sems.at[i])
+              for i, (s, r) in enumerate(zip(scr[:7], outs))]
+        for c in wc:
+            c.start()
+        for c in wc:
+            c.wait()
+
+    @pl.when(act_ref[b] == 0)
+    def _():
+        # Frozen problem: pass scalars through (state rows pass through
+        # via the input/output aliasing); stats are stale by contract —
+        # the driver keeps the frozen element's previous norms.
+        scal_out[b, 0] = scalb_ref[b, 1]
+        scal_out[b, 1] = scalb_ref[b, 2]
+        for i in range(6):
+            stats_out[b, i] = jnp.zeros((), scalb_ref.dtype)
+
+
+def admm_iters_2d_batched(theta: jax.Array, u: Tuple[jax.Array, ...],
+                          alpha: Tuple[jax.Array, ...], counts: jax.Array,
+                          oty: jax.Array, dct_halves,
+                          eigs_packed: jax.Array, lams: jax.Array,
+                          rhos: jax.Array, u_scales: jax.Array,
+                          cbars: jax.Array, scales: Tuple[jax.Array, ...],
+                          k_iters: int, n_steps: int,
+                          active: jax.Array | None = None,
+                          adapt: bool = True, tau: float = 2.0,
+                          band: float = 10.0, interpret: bool = False):
+    """k_iters ADMM iterations for each of B problems in ONE kernel.
+
+    theta/u/alpha: (B, m0, m1) state (donated in-place).  counts/oty:
+    per-problem (B, m0, m1) (CV folds) or shared (m0, m1) (lambda sweeps
+    of one problem).  lams/rhos/u_scales/cbars: (B,).  active: (B,) bool
+    (None = all active); inactive rows are skipped and pass through.
+
+    Returns (theta, u (3), alpha (3), rhos (B,), u_scales (B,),
+    stats (B, 6)) — stats rows of inactive elements are zero.
+    """
+    B = int(theta.shape[0])
+    m = tuple(theta.shape[1:])
+    dtype = theta.dtype
+    shared = counts.ndim == 2
+    scalb = jnp.stack([
+        jnp.broadcast_to(jnp.asarray(lams, dtype), (B,)),
+        jnp.broadcast_to(jnp.asarray(rhos, dtype), (B,)),
+        jnp.broadcast_to(jnp.asarray(u_scales, dtype), (B,)),
+        jnp.broadcast_to(jnp.asarray(cbars, dtype), (B,)),
+    ], axis=1)
+    scalsh = jnp.stack([jnp.asarray(s, dtype) for s in scales[:3]])
+    act = (jnp.ones((B,), jnp.int32) if active is None
+           else jnp.asarray(active, jnp.int32))
+
+    te0 = dct_halves[0][0].astype(jnp.bfloat16)
+    to0 = dct_halves[0][1].astype(jnp.bfloat16)
+    te1 = dct_halves[1][0].astype(jnp.bfloat16)
+    to1 = dct_halves[1][1].astype(jnp.bfloat16)
+    from multivartv_tpu.ops import dct as dct_ops
+    r0f = dct_ops.exchange_matrix(m[0] // 2, jnp.bfloat16)
+    r1f = dct_ops.exchange_matrix(m[1] // 2, jnp.bfloat16)
+    eigs = eigs_packed.astype(dtype)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def vmem_shared(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda b: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [any_spec] * 7
+    in_specs += ([vmem_shared(m)] * 2 if shared else [any_spec] * 2)
+    in_specs += [vmem_shared(t.shape)
+                 for t in (te0, to0, te1, to1, r0f, r1f, eigs)]
+    in_specs += [smem_spec, smem_spec, smem_spec]
+    out_specs = tuple([any_spec] * 7 + [smem_spec, smem_spec])
+
+    shp = jax.ShapeDtypeStruct((B,) + m, dtype)
+    out_shape = tuple([shp] * 7) + (
+        jax.ShapeDtypeStruct((B, 2), dtype),
+        jax.ShapeDtypeStruct((B, 6), dtype),
+    )
+    scratch = [pltpu.VMEM(m, dtype)] * (7 if shared else 9)
+    scratch += [pltpu.SemaphoreType.DMA((9,))]
+
+    outs = pl.pallas_call(
+        functools.partial(_admm_iters_batched_kernel, k_iters, n_steps,
+                          adapt, tau, band, shared),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(theta, u[0], u[1], u[2], alpha[0], alpha[1], alpha[2], counts, oty,
+      te0, to0, te1, to1, r0f, r1f, eigs, scalb, scalsh, act)
+    rho_scale = outs[7]
+    return (outs[0], outs[1:4], outs[4:7], rho_scale[:, 0], rho_scale[:, 1],
+            outs[8])
+
+
+def batched_supported(m: Tuple[int, ...], binaries) -> bool:
+    """grid=(B,) batched kernel: p == 2, full C++ block set, even axes
+    sized so one problem's state + DCT matrices fit VMEM scratch, and
+    DMA-sliceable layout (sublane multiple of 8, lane multiple of 128)."""
+    if len(m) != 2 or len(binaries) != 3:
+        return False
+    if m[0] % 8 or m[1] % 128:
+        return False
+    lattice_bytes = int(np.prod(m)) * 4
+    mat_bytes = 2 * (m[0] * m[0] + m[1] * m[1])
+    return lattice_bytes <= (1 << 20) and mat_bytes <= (2 << 20)

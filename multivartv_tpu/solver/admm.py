@@ -28,6 +28,22 @@ from multivartv_tpu.ops.prox import soft_threshold_blocks
 from multivartv_tpu.solver.problem import Operators, Problem
 from multivartv_tpu.solver.xupdate import solve_x
 
+# Default fused-kernel chunk when SolverConfig.chunk_iters is None (auto):
+# Boyd convergence is checked every AUTO_CHUNK iterations, trading up to
+# AUTO_CHUNK-1 harmless extra iterations per lambda for the one-kernel
+# VMEM-resident iteration cadence (see ops/pallas_kernels.py kernel 5).
+AUTO_CHUNK = 4
+
+# Test hook: when True, the fused multi-iteration path is considered
+# available off-TPU and the kernel runs in Pallas interpret mode, so the
+# chunked admm_solve semantics are testable on the CPU harness.
+FORCE_FUSED_INTERPRET = False
+
+
+def resolve_chunk(cfg: SolverConfig) -> int:
+    """The effective convergence-check cadence (see SolverConfig)."""
+    return AUTO_CHUNK if cfg.chunk_iters is None else max(cfg.chunk_iters, 1)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -185,7 +201,7 @@ def fused_iterations_available(ops: Operators, problem: Problem,
         and ops.dct_halves is not None
         and ops.gram_eigs_packed is not None
         and pk.xupdate_supported(ops.m, ops.binaries)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
         and problem.counts.ndim == len(ops.m)
     )
 
@@ -209,7 +225,8 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
         state.theta, state.u, state.alpha, problem.counts, problem.oty,
         ops.dct_halves, ops.gram_eigs_packed, lam, state.rho, state.u_scale,
         cbar, ops.scales, k_iters=k_iters, n_steps=n_steps,
-        adapt=cfg.adapt_rho, tau=cfg.adapt_tau, band=cfg.adapt_band)
+        adapt=cfg.adapt_rho, tau=cfg.adapt_tau, band=cfg.adapt_band,
+        interpret=FORCE_FUSED_INTERPRET)
 
     primal_norm = jnp.sqrt(stats[0])
     # The last iteration's dual norm used its *pre-adaptation* rho; with
@@ -221,10 +238,12 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
     eps_dual = tol * (sqrt_ntheta + jnp.sqrt(stats[4]))
     # NaN-poison guard (mirrors _poison_if_nonfinite on the per-iteration
     # path): a non-finite CG residual poisons the norms so the convergence
-    # predicate stops.
+    # predicate stops, AND theta itself, so a caller reading state.theta
+    # after a divergent chunk cannot mistake it for a solution.
     bad = jnp.logical_not(jnp.isfinite(stats[5]))
     nan = jnp.asarray(jnp.nan, dtype)
     primal_norm = jnp.where(bad, nan, primal_norm)
+    theta = jnp.where(bad, nan, theta)
     return ADMMState(
         theta=theta,
         alpha=alpha,
@@ -240,33 +259,52 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
     )
 
 
+def _not_converged(s: ADMMState, max_iters: int):
+    not_done = jnp.logical_or(
+        s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal
+    )
+    # First iteration always runs (C++ seeds norms=1, eps=TOL).
+    not_done = jnp.logical_and(not_done, s.counter < max_iters)
+    # Fault guard (framework addition): a NaN/Inf residual means the
+    # solve diverged — stop instead of spinning to the cap.  Inspect
+    # with solver_diagnostics().
+    finite = jnp.logical_and(
+        jnp.isfinite(s.primal_norm), jnp.isfinite(s.dual_norm))
+    return jnp.logical_and(not_done, finite)
+
+
 def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
                state: ADMMState, cfg: SolverConfig,
                batched: bool = False) -> ADMMState:
-    """Run ADMM at a single lambda until Boyd convergence or the cap."""
-    if (cfg.chunk_iters > 1
-            and fused_iterations_available(ops, problem, cfg, batched)):
-        chunk = cfg.chunk_iters
+    """Run ADMM at a single lambda until Boyd convergence or the cap.
 
-        def body(s: ADMMState) -> ADMMState:
+    When the one-kernel multi-iteration path applies and the chunk cadence
+    is > 1, iterations run in VMEM-resident chunks with convergence checked
+    every chunk; the final < chunk iterations before the max_iters cap run
+    per-iteration so the reference's hard cap (solvers.cpp:103) is exact —
+    convergence may be overshot by up to chunk-1 iterations (benign:
+    converged states are fixed points within CG tolerance), the cap never.
+    """
+    chunk = resolve_chunk(cfg)
+    per_iter_body = make_admm_iteration(ops, problem, lam, cfg,
+                                        batched=batched)
+
+    def tail_cond(s):
+        return _not_converged(s, cfg.max_iters)
+
+    if chunk > 1 and fused_iterations_available(ops, problem, cfg, batched):
+        def chunk_body(s: ADMMState) -> ADMMState:
             return admm_fused_chunk(ops, problem, lam, s, cfg, chunk)
-    else:
-        body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
 
-    def cond(s: ADMMState):
-        not_done = jnp.logical_or(
-            s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal
-        )
-        # First iteration always runs (C++ seeds norms=1, eps=TOL).
-        not_done = jnp.logical_and(not_done, s.counter < cfg.max_iters)
-        # Fault guard (framework addition): a NaN/Inf residual means the
-        # solve diverged — stop instead of spinning to the cap.  Inspect
-        # with solver_diagnostics().
-        finite = jnp.logical_and(
-            jnp.isfinite(s.primal_norm), jnp.isfinite(s.dual_norm))
-        return jnp.logical_and(not_done, finite)
+        def chunk_cond(s: ADMMState):
+            # Only take a full chunk when it cannot overshoot the cap.
+            return _not_converged(s, cfg.max_iters - chunk + 1)
 
-    return jax.lax.while_loop(cond, body, state)
+        state = jax.lax.while_loop(chunk_cond, chunk_body, state)
+        # Tail: per-iteration steps for the final < chunk iterations.
+        return jax.lax.while_loop(tail_cond, per_iter_body, state)
+
+    return jax.lax.while_loop(tail_cond, per_iter_body, state)
 
 
 def solver_diagnostics(state: ADMMState) -> dict:
@@ -289,16 +327,180 @@ def solver_diagnostics(state: ADMMState) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Batched solves through the grid=(B,) fused kernel (kernel 6).
+#
+# jax.vmap cannot batch pallas_call (SMEM scalars do not batch), so the
+# reference's product workloads — CV folds (mbs_impl, solvers.cpp:305-376)
+# and lambda sweeps — get an explicit batched driver: the SAME Boyd
+# stopping, adaptive rho and iteration-cap semantics as admm_solve, with
+# per-element freeze-at-convergence matching a vmapped lax.while_loop
+# (JAX's while batching rule selects the old carry for elements whose
+# predicate is False).
+# ---------------------------------------------------------------------------
+
+
+def fused_batched_available(ops: Operators, problem: Problem,
+                            cfg: SolverConfig) -> bool:
+    """Whether the grid=(B,) one-kernel ADMM path applies to this problem
+    batch (counts may be per-element (B, *m) — CV folds — or shared (*m) —
+    lambda sweeps)."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    p = len(ops.m)
+    return (
+        cfg.use_pallas
+        and cfg.x_solver == "dct_pcg"
+        and ops.dct_halves is not None
+        and ops.gram_eigs_packed is not None
+        and pk.batched_supported(ops.m, ops.binaries)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim in (p, p + 1)
+    )
+
+
+def admm_fused_chunk_batched(ops: Operators, problem: Problem,
+                             lams: jax.Array, state: ADMMState,
+                             cfg: SolverConfig, k_iters: int,
+                             active: jax.Array | None = None) -> ADMMState:
+    """k_iters ADMM iterations on a BATCH of B problems in one kernel.
+
+    state: batched ADMMState (leading axis B on every leaf).  lams: (B,).
+    active: (B,) bool — elements with active=False are frozen (state rows
+    pass through untouched; scalars/norms keep their previous values)."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    dtype = problem.oty.dtype
+    B = int(state.theta.shape[0])
+    lams = jnp.broadcast_to(jnp.asarray(lams, dtype), (B,))
+    tol = jnp.asarray(cfg.tol, dtype)
+    sqrt_ntheta = jnp.asarray(math.sqrt(ops.ntheta), dtype)
+    sqrt_rowsd = jnp.asarray(math.sqrt(ops.rows_d), dtype)
+    p = len(ops.m)
+    if problem.counts.ndim == p:
+        cbars = jnp.broadcast_to(jnp.sum(problem.counts) / ops.ntheta, (B,))
+    else:
+        cbars = jnp.sum(problem.counts,
+                        axis=tuple(range(1, p + 1))) / ops.ntheta
+    n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
+
+    theta, u, alpha, rho, u_scale, stats = pk.admm_iters_2d_batched(
+        state.theta, state.u, state.alpha, problem.counts, problem.oty,
+        ops.dct_halves, ops.gram_eigs_packed, lams, state.rho,
+        state.u_scale, cbars, ops.scales, k_iters=k_iters, n_steps=n_steps,
+        active=active, adapt=cfg.adapt_rho, tau=cfg.adapt_tau,
+        band=cfg.adapt_band, interpret=FORCE_FUSED_INTERPRET)
+
+    primal_norm = jnp.sqrt(stats[:, 0])
+    rho_pre = rho * u_scale if cfg.adapt_rho else rho
+    dual_norm = rho_pre * jnp.sqrt(stats[:, 3])
+    eps_primal = tol * (sqrt_rowsd + jnp.maximum(jnp.sqrt(stats[:, 1]),
+                                                 jnp.sqrt(stats[:, 2])))
+    eps_dual = tol * (sqrt_ntheta + jnp.sqrt(stats[:, 4]))
+    # Per-element NaN-poison guard (same contract as admm_fused_chunk).
+    bad = jnp.logical_not(jnp.isfinite(stats[:, 5]))
+    nan = jnp.asarray(jnp.nan, dtype)
+    primal_norm = jnp.where(bad, nan, primal_norm)
+    theta = jnp.where(bad.reshape((B,) + (1,) * p), nan, theta)
+
+    act = (jnp.ones((B,), bool) if active is None
+           else jnp.asarray(active, bool))
+
+    def keep(new, old):
+        a = act.reshape((B,) + (1,) * (new.ndim - 1))
+        return jnp.where(a, new, old)
+
+    return ADMMState(
+        theta=theta,
+        alpha=alpha,
+        u=u,
+        rho=keep(rho, state.rho),
+        counter=state.counter + act.astype(jnp.int32) * k_iters,
+        primal_norm=keep(primal_norm, state.primal_norm),
+        dual_norm=keep(dual_norm, state.dual_norm),
+        eps_primal=keep(eps_primal, state.eps_primal),
+        eps_dual=keep(eps_dual, state.eps_dual),
+        cg_iters=state.cg_iters + act.astype(jnp.int32) * n_steps * k_iters,
+        u_scale=keep(u_scale, state.u_scale),
+    )
+
+
+def _not_converged_vec(s: ADMMState, max_iters: int) -> jax.Array:
+    """(B,) per-element continuation predicate (same rule as
+    _not_converged)."""
+    not_done = jnp.logical_or(
+        s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal)
+    not_done = jnp.logical_and(not_done, s.counter < max_iters)
+    finite = jnp.logical_and(
+        jnp.isfinite(s.primal_norm), jnp.isfinite(s.dual_norm))
+    return jnp.logical_and(not_done, finite)
+
+
+def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
+                       state: ADMMState, cfg: SolverConfig) -> ADMMState:
+    """Run B ADMM solves simultaneously until every element is
+    Boyd-converged or capped, using the grid=(B,) fused kernel.
+
+    Semantics match jax.vmap(admm_solve): each element freezes the moment
+    its own predicate clears (in-kernel skip via the activity mask), the
+    loop ends when no element is active.  The cap is exact per element
+    (chunked phase stops chunk-1 short; a per-iteration tail finishes)."""
+    chunk = resolve_chunk(cfg)
+
+    def make_loop(k, maxc):
+        def cond(s):
+            return jnp.any(_not_converged_vec(s, maxc))
+
+        def body(s):
+            act = _not_converged_vec(s, maxc)
+            return admm_fused_chunk_batched(ops, problem, lams, s, cfg, k,
+                                            active=act)
+        return cond, body
+
+    if chunk > 1:
+        cond, body = make_loop(chunk, cfg.max_iters - chunk + 1)
+        state = jax.lax.while_loop(cond, body, state)
+    cond, body = make_loop(1, cfg.max_iters)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def admm_fixed_iterations_batched(ops: Operators, problem: Problem,
+                                  lams: jax.Array, state: ADMMState,
+                                  cfg: SolverConfig,
+                                  n_iters: int) -> ADMMState:
+    """Exactly n_iters iterations on every batch element (benchmarking),
+    chunked at the production cadence like admm_fixed_iterations."""
+    chunk = min(resolve_chunk(cfg), n_iters)
+    full, rem = divmod(n_iters, chunk)
+    state = jax.lax.fori_loop(
+        0, full,
+        lambda _, s: admm_fused_chunk_batched(ops, problem, lams, s, cfg,
+                                              chunk),
+        state)
+    if rem:
+        state = admm_fused_chunk_batched(ops, problem, lams, state, cfg,
+                                         rem)
+    return state
+
+
 def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
                           state: ADMMState, cfg: SolverConfig,
                           n_iters: int, batched: bool = False) -> ADMMState:
     """Run exactly n_iters ADMM iterations (benchmarking / profiling).
 
-    Uses the one-kernel multi-iteration path when available — identical
-    per-iteration math (adaptive rho + Boyd statistics every iteration),
-    with the ADMM state VMEM-resident across all n_iters iterations."""
+    Uses the one-kernel multi-iteration path when available, in chunks of
+    the SAME cadence admm_solve runs in production (resolve_chunk(cfg)) —
+    identical per-iteration math (adaptive rho + Boyd statistics every
+    iteration), with the ADMM state VMEM-resident within each chunk.  Set
+    cfg.chunk_iters = n_iters for the single-kernel upper-bound cadence."""
     if fused_iterations_available(ops, problem, cfg, batched):
-        return admm_fused_chunk(ops, problem, lam, state, cfg, n_iters)
+        chunk = min(resolve_chunk(cfg), n_iters)
+        full, rem = divmod(n_iters, chunk)
+        state = jax.lax.fori_loop(
+            0, full,
+            lambda _, s: admm_fused_chunk(ops, problem, lam, s, cfg, chunk),
+            state)
+        if rem:
+            state = admm_fused_chunk(ops, problem, lam, state, cfg, rem)
+        return state
     body = make_admm_iteration(ops, problem, lam, cfg, batched=batched)
     return jax.lax.fori_loop(0, n_iters, lambda _, s: body(s), state)
 

@@ -62,20 +62,21 @@ def cross_validate(ops: Operators, problems: Problem, lambdas: jax.Array,
     import dataclasses as _dc
     mse_only = _dc.replace(pcfg, store="mse")
 
-    def one_fold(problem: Problem, batched: bool):
-        res = path_lib.solve_path(ops, problem, lambdas, cfg, mse_only,
-                                  batched=batched)
-        return res.test_mse, res.iters
-
     if cvcfg.vmap_folds:
-        test_mse, iters = jax.vmap(lambda pr: one_fold(pr, True))(problems)
+        # All folds simultaneously: grid=(folds,) fused Pallas kernel on
+        # TPU, vmap over the jnp path elsewhere (solve_path_batch).
+        res = path_lib.solve_path_batch(ops, problems, lambdas, cfg,
+                                        mse_only)
+        test_mse, iters = res.test_mse, res.iters
     else:
         outs = [
-            one_fold(jax.tree.map(lambda a: a[f], problems), False)
+            path_lib.solve_path(
+                ops, jax.tree.map(lambda a: a[f], problems), lambdas, cfg,
+                mse_only)
             for f in range(problems.counts.shape[0])
         ]
-        test_mse = jnp.stack([o[0] for o in outs])
-        iters = jnp.stack([o[1] for o in outs])
+        test_mse = jnp.stack([o.test_mse for o in outs])
+        iters = jnp.stack([o.iters for o in outs])
 
     return CVResult(
         fold_test_mse=test_mse,

@@ -34,13 +34,14 @@ def lam_max(ops: Operators, problem: Problem, pcfg: PathConfig,
     """Exact lambda_max estimate ||D (D'D)^+ O'y||_inf times the mode's
     scale ("cpp": x5, utils.cpp:354; "py": x prod(deltas),
     code/solvers.py:116)."""
-    if ops.gram_eigs is not None:
-        eigs = ops.gram_eigs
-    else:
-        # x_solver that doesn't keep DCT eigenvalues still gets an exact
-        # lambda_max via a one-off eigenvalue build on the same lattice.
-        raise ValueError("lam_max requires operators built with DCT eigenvalues")
-    pinv_oty = dct_ops.gram_pinv_apply(problem.oty, eigs, ops.dct_mats)
+    if ops.gram_eigs is None:
+        # build_operators always keeps the Gram eigenvalues (the reference's
+        # lambda_max is solver-independent, utils.cpp:343-355); only a
+        # hand-constructed Operators can lack them.
+        raise ValueError(
+            "lam_max needs Operators.gram_eigs; use build_operators()")
+    pinv_oty = dct_ops.gram_pinv_apply(problem.oty, ops.gram_eigs,
+                                       ops.dct_mats)
     tune = diff_ops.blocks_abs_max(ops.apply_D(pinv_oty))
     if pcfg.lam_max_mode == "cpp":
         return pcfg.lam_max_scale * tune
@@ -81,7 +82,7 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
                cfg: SolverConfig, pcfg: PathConfig,
                ftrue: Optional[jax.Array] = None,
                init_state: Optional[ADMMState] = None,
-               batched: bool = False) -> PathResult:
+               batched: bool = False, progress: bool = False) -> PathResult:
     """Warm-started lambda path as a lax.scan.
 
     ftrue: per-sample prediction target for the train MSE (reference
@@ -91,6 +92,8 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
     init_state: resume carry (checkpoint restore / chunked path solves).
     batched: set when this call runs under vmap (disables Pallas kernels,
         which do not batch).
+    progress: print a per-lambda line from inside the scan (the reference's
+        verbose per-solve counter, solvers.cpp:134) via jax.debug.print.
     """
     if ftrue is None:
         ftrue = problem.y
@@ -105,6 +108,9 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
 
     def step(state: ADMMState, lam):
         state = admm_solve(ops, problem, lam, state, cfg, batched=batched)
+        if progress:
+            from multivartv_tpu.utils.logging import jit_progress
+            jit_progress(lam, state.counter)
         fits = gather_fitted(state.theta, problem.flat_idx)
         train_mse = _masked_mse(fits, ftrue, train_mask)
         test_mse = (
@@ -143,6 +149,98 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
         cg_iters=outs["cg_iters"],
         thetas=outs.get("theta"),
         fitted=outs.get("fitted"),
+        final_state=final_state,
+    )
+
+
+def _masked_mse_batch(fits: jax.Array, target: jax.Array,
+                      mask: Optional[jax.Array]) -> jax.Array:
+    """(B,) per-element masked MSE over trailing sample axis."""
+    if mask is None:
+        return jnp.mean(jnp.square(fits - target), axis=-1)
+    denom = jnp.maximum(jnp.sum(mask, axis=-1), 1.0)
+    return jnp.sum(jnp.square(fits - target) * mask, axis=-1) / denom
+
+
+def solve_path_batch(ops: Operators, problems: Problem, lambdas: jax.Array,
+                     cfg: SolverConfig, pcfg: PathConfig,
+                     ftrue: Optional[jax.Array] = None) -> PathResult:
+    """Warm-started lambda path over a leading problem-batch axis (CV
+    folds / scenario batches) — the reference's product workload
+    (mbs_impl fold loop, solvers.cpp:336-353) solved simultaneously.
+
+    Routes through the grid=(B,) fused Pallas kernel (admm_solve_batched)
+    when it applies, so the batched path runs at fused-kernel speed; falls
+    back to jax.vmap over the jnp path otherwise (identical semantics —
+    per-element freeze at convergence).  Every PathResult field carries a
+    leading batch axis (B, n_lambda, ...).
+    """
+    from multivartv_tpu.solver.admm import (admm_solve_batched,
+                                            fused_batched_available)
+
+    if not fused_batched_available(ops, problems, cfg):
+        return jax.vmap(
+            lambda pr: solve_path(ops, pr, lambdas, cfg, pcfg, ftrue=ftrue,
+                                  batched=True)
+        )(problems)
+
+    B = int(problems.counts.shape[0])
+    dtype = problems.oty.dtype
+    if ftrue is None:
+        ftrue_b = problems.y
+    else:
+        ftrue_b = jnp.broadcast_to(
+            jnp.asarray(ftrue, dtype).reshape(-1)[None, :],
+            problems.y.shape)
+    train_mask = problems.train_mask
+    test_mask = None if train_mask is None else (1.0 - train_mask)
+
+    rho0 = jnp.broadcast_to(lambdas[0] / 5.0, (B,))
+    state0 = jax.vmap(
+        lambda pr, r: initial_state(ops, pr, r))(problems, rho0)
+    store_theta = pcfg.store == "fitted"
+    gather_b = jax.vmap(gather_fitted)
+
+    def step(state: ADMMState, lam):
+        lam_b = jnp.broadcast_to(lam, (B,))
+        state = admm_solve_batched(ops, problems, lam_b, state, cfg)
+        fits = gather_b(state.theta, problems.flat_idx)
+        train_mse = _masked_mse_batch(fits, ftrue_b, train_mask)
+        test_mse = (
+            _masked_mse_batch(fits, problems.y, test_mask)
+            if test_mask is not None else jnp.zeros((B,), dtype)
+        )
+        out = dict(train_mse=train_mse, test_mse=test_mse,
+                   iters=state.counter, cg_iters=state.cg_iters)
+        if store_theta:
+            out["theta"] = state.theta
+            out["fitted"] = fits
+        carry = dataclasses.replace(
+            state,
+            counter=jnp.zeros((B,), jnp.int32),
+            cg_iters=jnp.zeros((B,), jnp.int32),
+            primal_norm=jnp.ones((B,), dtype),
+            dual_norm=jnp.ones((B,), dtype),
+            eps_primal=jnp.zeros((B,), dtype),
+            eps_dual=jnp.zeros((B,), dtype),
+        )
+        if not pcfg.warm_start:
+            carry = state0
+        return carry, out
+
+    final_state, outs = jax.lax.scan(step, state0, lambdas)
+
+    def to_batch_major(x):
+        return None if x is None else jnp.moveaxis(x, 0, 1)
+
+    return PathResult(
+        lambdas=lambdas,
+        train_mse=to_batch_major(outs["train_mse"]),
+        test_mse=to_batch_major(outs["test_mse"]),
+        iters=to_batch_major(outs["iters"]),
+        cg_iters=to_batch_major(outs["cg_iters"]),
+        thetas=to_batch_major(outs.get("theta")),
+        fitted=to_batch_major(outs.get("fitted")),
         final_state=final_state,
     )
 

@@ -89,21 +89,24 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     binaries = diff_ops.fd_binaries(len(m), cfg.include_full_mixed)
     scales = diff_ops.delta_scales(binaries, deltas)
     need_dct = cfg.x_solver in ("dct_pcg", "dct_direct")
-    gram_eigs = (
-        dct_ops.gram_eigenvalues(m, deltas, cfg.include_full_mixed, dtype)
-        if need_dct else None
-    )
+    # Gram eigenvalues are built for EVERY solver config (one O(ntheta)
+    # array): the lambda_max estimate needs the exact (D'D)^+ regardless of
+    # the x-update backend — the reference's lambda_max is likewise
+    # solver-independent (utils.cpp:343-355).
+    gram_eigs = dct_ops.gram_eigenvalues(m, deltas, cfg.include_full_mixed,
+                                         dtype)
     gram_diagonal = (
         diff_ops.gram_diag(m, binaries, scales, dtype)
         if cfg.x_solver == "jacobi_pcg" else None
     )
     dct_mats = (
         dct_ops.dct_matrices(m, dtype)
-        if need_dct and max(m) <= 2048 else None
+        if max(m) <= 2048 else None
     )
     dct_halves = None
     gram_eigs_packed = None
-    if dct_mats is not None and all(v % 2 == 0 for v in m):
+    if (need_dct and dct_mats is not None
+            and all(v % 2 == 0 for v in m)):
         dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
         gram_eigs_packed = dct_ops.pack_spectrum(gram_eigs)
     return Operators(
