@@ -1,12 +1,27 @@
 """Headline benchmark: ADMM iterations/s per chip on a 512x512 mesh.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N,
+   "extras": {...}}
 
 Workload (BASELINE.json config 2): 2-D TV denoising on a 512^2 lattice,
-n = 2^20 samples, matrix-free stencil D, DCT-preconditioned CG x-update,
-full reference ADMM semantics (Boyd residual norms + adaptive rho each
-iteration).
+n = 2^20 samples, matrix-free stencil D, one-kernel folded-DCT-
+preconditioned CG x-update, full reference ADMM semantics (Boyd residual
+norms + adaptive rho each iteration).  The headline runs at the PRODUCTION
+convergence-check cadence (SolverConfig chunk auto = solver/admm.py::
+AUTO_CHUNK) — the exact configuration admm_solve uses — with the
+single-kernel upper bound reported in extras.
+
+extras (each guarded; a failure records a string instead of a number):
+  chunk_iters               cadence the headline was measured at
+  kernel_resident_iters_per_s  all BENCH iterations in ONE kernel launch
+  batched_iters_per_s_b5    5 simultaneous problems (the CV-fold regime,
+                            grid=(B,) kernel): total problem-iterations/s
+  objective_rel_gap_512     |obj_fused - obj_xla| / obj_xla, both solved
+                            to Boyd convergence at 512^2 on TPU (matched-
+                            objective gate: BASELINE "at matched objective")
+  iters_per_s_2048, _4096   XLA fallback path above the VMEM kernel gate
+  iters_per_s_128cube       3-D 128^3 DCT-PCG path (BASELINE config 4)
 
 Baseline: the reference C++ performs a SuperLU factorize+solve of the
 262144-unknown sparse system (O'O + rho D'D) inside *every* ADMM iteration
@@ -19,6 +34,7 @@ is used if scipy is unavailable.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -41,43 +57,132 @@ LAM = 0.05
 FALLBACK_BASELINE_ITERS_PER_S = 0.4
 
 
-def measure_tpu_iters_per_s():
+def _slope_time(run, state0, lo, hi, repeats=3):
+    """Best-of-repeats slope timing of run(state, n) over n in {lo, hi}."""
     import jax
+
+    def timed(n):
+        out = run(state0, n)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = run(state0, n)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_lo, _ = timed(lo)
+    t_hi, out = timed(hi)
+    dt = t_hi - t_lo
+    return (hi - lo) / dt, dt, out
+
+
+def _make(m, n_samples, cfg, seed=117, batch=None):
     import jax.numpy as jnp
-    from multivartv_tpu.config import SolverConfig
-    from multivartv_tpu.solver.admm import (
-        admm_fixed_iterations, initial_state)
     from multivartv_tpu.solver.problem import build_operators
     from __graft_entry__ import _make_problem
 
-    dtype = jnp.float32
-    cfg = SolverConfig()
-    spec, problem = _make_problem(M, N_SAMPLES, dtype, seed=117)
-    ops = build_operators(M, spec.deltas, cfg, dtype)
-    lam = jnp.asarray(LAM, dtype)
+    spec, problem = _make_problem(tuple(m), n_samples, jnp.float32,
+                                  seed=seed, batch=batch)
+    ops = build_operators(tuple(m), spec.deltas, cfg, jnp.float32)
+    return ops, problem
+
+
+def measure_tpu_iters_per_s(cfg):
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from multivartv_tpu.solver.admm import (
+        admm_fixed_iterations, initial_state)
+
+    ops, problem = _make(M, N_SAMPLES, cfg)
+    lam = jnp.asarray(LAM, jnp.float32)
     state0 = initial_state(ops, problem, rho0=lam / 5.0)
 
-    def timed(n_iters):
-        run = jax.jit(
-            lambda st: admm_fixed_iterations(ops, problem, lam, st, cfg,
-                                             n_iters))
-        # Warm up: compile the exact timed program, settle to steady state.
-        state = run(state0)
-        jax.block_until_ready(state.theta)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            state = run(state0)
-            jax.block_until_ready(state.theta)
-            best = min(best, time.perf_counter() - t0)
-        return best, state
+    @partial(jax.jit, static_argnums=(1,))
+    def run(st, n):
+        return admm_fixed_iterations(ops, problem, lam, st, cfg, n).theta
 
-    t_lo, _ = timed(BENCH_ITERS_LO)
-    t_hi, state = timed(BENCH_ITERS_HI)
-    dt = t_hi - t_lo
-    iters_per_s = (BENCH_ITERS_HI - BENCH_ITERS_LO) / dt
-    cg_per_iter = float(state.cg_iters) / float(state.counter)
-    return iters_per_s, dt, cg_per_iter
+    iters_per_s, dt, _ = _slope_time(run, state0, BENCH_ITERS_LO,
+                                     BENCH_ITERS_HI)
+    return iters_per_s, dt
+
+
+def measure_batched_iters_per_s(cfg, B=5):
+    """The CV-fold regime: B simultaneous 512^2 problems through the
+    grid=(B,) kernel.  Returns total problem-iterations/s."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from multivartv_tpu.solver.admm import (
+        admm_fixed_iterations_batched, fused_batched_available,
+        initial_state)
+
+    ops, problems = _make(M, N_SAMPLES, cfg, batch=B)
+    if not fused_batched_available(ops, problems, cfg):
+        raise RuntimeError("batched fused kernel unavailable")
+    lams = jnp.full((B,), LAM, jnp.float32)
+    state0 = jax.vmap(
+        lambda pr, l: initial_state(ops, pr, rho0=l / 5.0))(problems, lams)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(st, n):
+        return admm_fixed_iterations_batched(
+            ops, problems, lams, st, cfg, n).theta
+
+    lo, hi = 100, 600
+    iters_per_s, dt, _ = _slope_time(run, state0, lo, hi)
+    return iters_per_s * B, dt
+
+
+def measure_objective_gap(cfg):
+    """Matched-objective gate at bench scale: solve the SAME 512^2 problem
+    to Boyd convergence with (a) the fused kernel path and (b) the plain
+    XLA f32 path, and report the relative objective gap."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from multivartv_tpu.solver.admm import admm_solve, initial_state, objective
+
+    ops, problem = _make(M, N_SAMPLES, cfg)
+    lam = jnp.asarray(LAM, jnp.float32)
+
+    def converge(c):
+        @jax.jit
+        def run():
+            st = initial_state(ops, problem, rho0=lam / 5.0)
+            st = admm_solve(ops, problem, lam, st, c)
+            fid, pen = objective(ops, problem, st.theta)
+            return fid + lam * pen, st.counter
+        obj, iters = run()
+        return float(obj), int(iters)
+
+    obj_fused, it_fused = converge(cfg)
+    cfg_xla = dataclasses.replace(cfg, use_pallas=False, chunk_iters=1)
+    obj_xla, it_xla = converge(cfg_xla)
+    gap = abs(obj_fused - obj_xla) / max(abs(obj_xla), 1e-30)
+    return gap, obj_fused, obj_xla, it_fused, it_xla
+
+
+def measure_scale(cfg, m, n_samples, lo, hi):
+    """iters/s at an arbitrary lattice (XLA fallback above kernel gates)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from multivartv_tpu.solver.admm import (
+        admm_fixed_iterations, initial_state)
+
+    ops, problem = _make(m, n_samples, cfg)
+    lam = jnp.asarray(LAM, jnp.float32)
+    state0 = initial_state(ops, problem, rho0=lam / 5.0)
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(st, n):
+        return admm_fixed_iterations(ops, problem, lam, st, cfg, n).theta
+
+    iters_per_s, dt, _ = _slope_time(run, state0, lo, hi, repeats=2)
+    return iters_per_s
 
 
 def measure_reference_baseline(budget_s: float = 120.0):
@@ -125,11 +230,58 @@ def measure_reference_baseline(budget_s: float = 120.0):
 
 
 def main():
-    iters_per_s, dt, cg_per_iter = measure_tpu_iters_per_s()
+    import dataclasses
+    from multivartv_tpu.config import SolverConfig
+    from multivartv_tpu.solver.admm import resolve_chunk
+
+    cfg = SolverConfig()           # PRODUCTION config (chunk auto)
+    extras = {"chunk_iters": resolve_chunk(cfg)}
+
+    iters_per_s, dt = measure_tpu_iters_per_s(cfg)
+    print(f"# tpu: {iters_per_s:.1f} ADMM iters/s at production cadence "
+          f"chunk={extras['chunk_iters']} (slope over "
+          f"{BENCH_ITERS_HI - BENCH_ITERS_LO} iters, {dt:.3f}s)",
+          file=sys.stderr)
+
+    def guarded(name, fn):
+        try:
+            t0 = time.perf_counter()
+            val = fn()
+            print(f"# {name} = {val} [{time.perf_counter()-t0:.1f}s]",
+                  file=sys.stderr)
+            return val
+        except Exception as e:  # record, never kill the headline
+            msg = f"failed: {type(e).__name__}: {e}"
+            print(f"# {name} {msg}", file=sys.stderr)
+            return msg
+
+    skip_extras = os.environ.get("BENCH_HEADLINE_ONLY", "") == "1"
+    if not skip_extras:
+        extras["kernel_resident_iters_per_s"] = guarded(
+            "kernel_resident",
+            lambda: round(measure_tpu_iters_per_s(
+                dataclasses.replace(cfg, chunk_iters=BENCH_ITERS_HI))[0], 1))
+        extras["batched_iters_per_s_b5"] = guarded(
+            "batched_b5",
+            lambda: round(measure_batched_iters_per_s(cfg, B=5)[0], 1))
+
+        def _gap():
+            gap, of, ox, itf, itx = measure_objective_gap(cfg)
+            print(f"#   obj fused={of:.6g} ({itf} it) xla={ox:.6g} "
+                  f"({itx} it)", file=sys.stderr)
+            return round(gap, 8)
+        extras["objective_rel_gap_512"] = guarded("objective_gap", _gap)
+        extras["iters_per_s_2048"] = guarded(
+            "2048^2", lambda: round(measure_scale(
+                cfg, (2048, 2048), 1 << 22, 20, 120), 1))
+        extras["iters_per_s_4096"] = guarded(
+            "4096^2", lambda: round(measure_scale(
+                cfg, (4096, 4096), 1 << 22, 5, 30), 1))
+        extras["iters_per_s_128cube"] = guarded(
+            "128^3", lambda: round(measure_scale(
+                cfg, (128, 128, 128), 1 << 21, 20, 120), 1))
+
     baseline = measure_reference_baseline()
-    print(f"# tpu: {iters_per_s:.1f} ADMM iters/s (slope over "
-          f"{BENCH_ITERS_HI - BENCH_ITERS_LO} iters, {dt:.3f}s device time, "
-          f"{cg_per_iter:.1f} CG steps/iter)", file=sys.stderr)
     print(f"# reference proxy (SuperLU single-core): {baseline:.3f} iters/s",
           file=sys.stderr)
     print(json.dumps({
@@ -137,6 +289,7 @@ def main():
         "value": round(iters_per_s, 2),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_s / baseline, 2),
+        "extras": extras,
     }))
 
 

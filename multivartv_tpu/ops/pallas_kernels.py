@@ -31,6 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Mosaic's default scoped-VMEM limit is 16 MB, but a v5e core physically
+# has far more (measured: a 28 MB-resident kernel compiles and runs with a
+# raised limit).  The fused whole-lattice kernels (5/6) sit just above
+# 16 MB at 512^2 with f32 eigenvalues, so every kernel raises the limit.
+VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
+
 def _shift_down(x, axis):
     # out[i] = x[i+1] (circular): pltpu.roll requires non-negative shifts,
     # so a -1 roll is expressed as size-1.
@@ -122,6 +133,7 @@ def gram_matvec_2d(v: jax.Array, counts: jax.Array, rho: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(v, counts, scal)
     return out, dot[0]
 
@@ -235,6 +247,7 @@ def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(theta, u[0], u[1], u[2], scal)
     alpha = outs[0:3]
     u_new = outs[3:6]
@@ -417,6 +430,7 @@ def xupdate_pcg_2d_packed(b: jax.Array, x0: jax.Array, counts: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(b, x0, counts, te0, to0, te1, to1, r0, r1, eigs_packed, scal)
     return x, rsq[0]
 
@@ -451,6 +465,7 @@ def xupdate_pcg_2d(b: jax.Array, x0: jax.Array, counts: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         interpret=interpret,
+        compiler_params=_params(),
     )(b, x0, counts, t0, t1, eigs, scal)
     return x, rsq[0]
 
@@ -508,6 +523,7 @@ def rhs_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_params(),
     )(alpha[0], alpha[1], alpha[2], u[0], u[1], u[2], oty, scal)
 
 
@@ -753,6 +769,7 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
         ),
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
         interpret=interpret,
+        compiler_params=_params(),
     )(theta, u[0], u[1], u[2], alpha[0], alpha[1], alpha[2],
       counts, oty, te0, to0, te1, to1, r0, r1, eigs_packed, scal)
     new_theta = outs[0]
@@ -931,6 +948,7 @@ def admm_iters_2d_batched(theta: jax.Array, u: Tuple[jax.Array, ...],
         input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6},
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_params(),
     )(theta, u[0], u[1], u[2], alpha[0], alpha[1], alpha[2], counts, oty,
       te0, to0, te1, to1, r0f, r1f, eigs, scalb, scalsh, act)
     rho_scale = outs[7]
