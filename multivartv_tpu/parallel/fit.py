@@ -1,0 +1,264 @@
+"""End-to-end lattice-sharded fits: mvtv over a jax.sharding.Mesh.
+
+The reference is strictly single-process and its README names memory as
+its scaling wall ("memory issues for large dimension problems",
+rcpp-code/README.md:9).  This module is the scaling answer: the FULL
+mvtv product path (lambda_max -> lambda grid -> k-fold CV -> final path ->
+refit, mbs_impl semantics, solvers.cpp:305-376) with the theta lattice and
+every lattice-shaped operand sharded over spatial mesh axes.
+
+Design (idiomatic JAX SPMD): the solver is pure jnp on lattice arrays, so
+under jit the XLA SPMD partitioner inserts every collective — halo
+exchanges for the shifted-slice difference stencils, psums for CG dot
+products and residual norms — from NamedSharding annotations alone.  The
+x-update uses the Jacobi-preconditioned CG (fully local preconditioner);
+whole-lattice Pallas kernels are disabled (they would force a gather).
+The manual shard_map + ppermute implementation of the same stencils lives
+in parallel/halo.py; collective-level parity between the two is tested.
+
+Fold/scenario batches map to an optional leading "dp" mesh axis — data
+parallelism composing with lattice (tensor/context) parallelism, the
+direct analog of dp x tp meshes in large-model training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multivartv_tpu.config import (CVConfig, MeshConfig, PathConfig,
+                                   SolverConfig, DEFAULT_MESH)
+from multivartv_tpu.ops import interp as interp_ops
+from multivartv_tpu.parallel.sharding import (lattice_sharding,
+                                              make_device_mesh,
+                                              shard_problem)
+from multivartv_tpu.solver import cv as cv_lib
+from multivartv_tpu.solver import path as path_lib
+from multivartv_tpu.solver.admm import admm_solve, initial_state
+from multivartv_tpu.solver.problem import (Operators, Problem,
+                                           build_operators, build_problem)
+
+
+def default_lattice_mesh(p: int, devices=None,
+                         dp: int = 1) -> Tuple[Mesh, Tuple[str, ...]]:
+    """Factor the available devices into (dp, sx[, sy]) lattice mesh axes.
+
+    p == 1: shards the single (long) lattice axis — the sequence/context-
+    parallel regime.  p >= 2: shards the first two lattice axes."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices) // dp * dp
+    rest = n // dp
+    if p == 1:
+        shape = (dp, rest)
+        names = ("dp", "sx")
+    else:
+        sx = 1
+        for cand in range(int(np.sqrt(rest)), 0, -1):
+            if rest % cand == 0:
+                sx = cand
+                break
+        shape = (dp, sx, rest // sx)
+        names = ("dp", "sx", "sy")
+    return make_device_mesh(shape, names, devices[:n]), names
+
+
+def _sharded_solver_config(cfg: SolverConfig) -> SolverConfig:
+    """Adapt a SolverConfig for lattice sharding: the x-update must be
+    local+psum (jacobi_pcg), whole-lattice Pallas kernels off."""
+    changes = {}
+    if cfg.use_pallas:
+        changes["use_pallas"] = False
+    if cfg.x_solver in ("dct_pcg", "dct_direct"):
+        # The DCT transform is a dense all-to-all along each lattice axis;
+        # Jacobi keeps the preconditioner shard-local (SURVEY 2a).
+        changes["x_solver"] = "jacobi_pcg"
+    return dataclasses.replace(cfg, **changes) if changes else cfg
+
+
+def shard_operators(ops: Operators, mesh: Mesh,
+                    spatial_axes: Sequence[Optional[str]]) -> Operators:
+    """Place lattice-shaped operator arrays (gram eigenvalues / diagonal)
+    with the lattice sharding; per-axis DCT matrices replicate."""
+    ndim = len(ops.m)
+    lat = lattice_sharding(mesh, ndim, spatial_axes)
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if x is None:
+            return None
+        if getattr(x, "ndim", None) == ndim and x.shape == ops.m:
+            return jax.device_put(x, lat)
+        return jax.device_put(x, rep)
+
+    return dataclasses.replace(
+        ops,
+        scales=tuple(place(s) for s in ops.scales),
+        gram_eigs=place(ops.gram_eigs),
+        gram_diagonal=place(ops.gram_diagonal),
+        dct_mats=(None if ops.dct_mats is None
+                  else tuple(place(t) for t in ops.dct_mats)),
+        dct_halves=(None if ops.dct_halves is None else tuple(
+            (place(a), place(b)) for a, b in ops.dct_halves)),
+        gram_eigs_packed=place(ops.gram_eigs_packed),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "progress"))
+def _jit_sharded_path(ops, problem, lambdas, ftrue, cfg, pcfg,
+                      progress=False):
+    return path_lib.solve_path(ops, problem, lambdas, cfg, pcfg,
+                               ftrue=ftrue, progress=progress)
+
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg"))
+def _jit_sharded_lambda_grid(ops, problem, deltas, cfg, pcfg):
+    lmax = path_lib.lam_max(ops, problem, pcfg, deltas)
+    return lmax, path_lib.create_lambdas(lmax, pcfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _jit_sharded_fresh_solve(ops, problem, lam, rho0, cfg):
+    state = initial_state(ops, problem, rho0)
+    state = admm_solve(ops, problem, lam, state, cfg)
+    fitted = interp_ops.gather_fitted(state.theta, problem.flat_idx)
+    return state.theta, fitted
+
+
+@partial(jax.jit, static_argnames=("cfg", "pcfg", "folds"))
+def _jit_sharded_cv(ops, problems, lambdas, cfg, pcfg, folds):
+    import dataclasses as _dc
+    mse_only = _dc.replace(pcfg, store="mse")
+    res = path_lib.solve_path_batch(ops, problems, lambdas, cfg, mse_only)
+    return jnp.mean(res.test_mse, axis=0), res.test_mse
+
+
+def mvtv_sharded(data, y, m=None, mesh=None, n_lambda: int = 100,
+                 ftrue=None, lambdas=None, folds: int = 5,
+                 verbose: bool = False,
+                 device_mesh: Optional[Mesh] = None,
+                 spatial_axes: Optional[Sequence[str]] = None,
+                 batch_axis: Optional[str] = "dp",
+                 solver_config: Optional[SolverConfig] = None,
+                 path_config: Optional[PathConfig] = None,
+                 cv_config: Optional[CVConfig] = None,
+                 mesh_config: MeshConfig = DEFAULT_MESH,
+                 dtype=jnp.float32):
+    """Cross-validated TV denoising fit with the theta lattice sharded
+    over a device mesh — mvtv() semantics (mbs_impl, solvers.cpp:305-376)
+    at lattice sizes a single device cannot hold.
+
+    device_mesh: a jax.sharding.Mesh; None builds one over all local
+        devices (default_lattice_mesh).  Multi-host: initialize
+        jax.distributed first (parallel/distributed.py), then pass the
+        global mesh here.
+    spatial_axes: mesh-axis name per lattice dim (None entries replicate);
+        defaults to ("sx",) for p == 1 and ("sx", "sy") for p >= 2.
+    batch_axis: mesh axis for the CV-fold batch (None replicates folds).
+    """
+    from multivartv_tpu.api import (MVTVModel, _assemble_model,
+                                    _resolve_mesh)
+
+    data_np = np.asarray(data, np.float64)
+    if data_np.ndim == 1:
+        data_np = data_np[:, None]
+    y_np = np.asarray(y, np.float64).reshape(-1)
+    p = data_np.shape[1]
+
+    if solver_config is None:
+        solver_config = SolverConfig()
+    solver_config = _sharded_solver_config(solver_config)
+    if path_config is None:
+        path_config = PathConfig(n_lambda=n_lambda)
+    elif path_config.n_lambda != n_lambda and n_lambda != 100:
+        path_config = dataclasses.replace(path_config, n_lambda=n_lambda)
+    if cv_config is None:
+        cv_config = CVConfig(folds=folds)
+    folds = cv_config.folds
+
+    if device_mesh is None:
+        device_mesh, names = default_lattice_mesh(p)
+        if spatial_axes is None:
+            spatial_axes = names[1:]
+        if batch_axis is not None and batch_axis not in names:
+            batch_axis = None
+    if spatial_axes is None:
+        spatial_axes = tuple(a for a in ("sx", "sy")
+                             if a in device_mesh.axis_names)[:p]
+    if batch_axis is not None and batch_axis not in device_mesh.axis_names:
+        batch_axis = None
+
+    spec = _resolve_mesh(data_np, y_np, m, mesh, mesh_config, dtype)
+    data_j = jnp.asarray(data_np, dtype)
+    y_j = jnp.asarray(y_np, dtype)
+
+    # Build operators/problem on host-jit, then PLACE with lattice
+    # shardings — every jitted core below inherits the shardings from its
+    # inputs and the SPMD partitioner does the rest.
+    ops = jax.jit(
+        lambda d: build_operators(spec.m, d, solver_config, dtype)
+    )(spec.deltas.astype(dtype))
+    problem = jax.jit(
+        lambda dd, yy: build_problem(spec, dd, yy, dtype=dtype)
+    )(data_j, y_j)
+    ops = shard_operators(ops, device_mesh, spatial_axes)
+    problem = shard_problem(problem, device_mesh, spatial_axes)
+
+    if lambdas is None:
+        lmax, lambda_grid = _jit_sharded_lambda_grid(
+            ops, problem, spec.deltas.astype(dtype), solver_config,
+            path_config)
+        if verbose:
+            print(f"Lambda_max = {float(lmax):.6g}")
+    else:
+        lambda_grid = jnp.asarray(lambdas, dtype).reshape(-1)
+        path_config = dataclasses.replace(
+            path_config, n_lambda=int(lambda_grid.shape[0]))
+
+    ftrue_j = y_j if ftrue is None else jnp.asarray(ftrue, dtype).reshape(-1)
+
+    if folds == 1:
+        final_path = _jit_sharded_path(
+            ops, problem, lambda_grid, ftrue_j, solver_config, path_config,
+            progress=verbose)
+        from multivartv_tpu.api import _per_lambda_mse_vs_y
+        cv_mses = np.asarray(_per_lambda_mse_vs_y(final_path, problem))
+        best_ind = int(np.argmin(cv_mses))
+        best_theta, best_fitted = _jit_sharded_fresh_solve(
+            ops, problem, lambda_grid[best_ind], lambda_grid[0] / 5.0,
+            solver_config)
+    else:
+        labels = cv_lib.kfold_indices(y_np.shape[0], folds, cv_config.seed)
+        problems = jax.jit(
+            lambda dd, yy, lab: cv_lib.fold_problems(
+                spec, dd, yy, lab, folds, dtype)
+        )(data_j, y_j, labels)
+        problems = shard_problem(problems, device_mesh, spatial_axes,
+                                 batch_axis=batch_axis, batched=True)
+        cv_mean, _ = _jit_sharded_cv(ops, problems, lambda_grid,
+                                     solver_config, path_config, folds)
+        cv_mses = np.asarray(cv_mean)
+        best_ind = int(np.argmin(cv_mses))
+        final_path = _jit_sharded_path(
+            ops, problem, lambda_grid, ftrue_j, solver_config, path_config,
+            progress=verbose)
+        if final_path.thetas is not None:
+            best_theta = final_path.thetas[best_ind]
+            best_fitted = final_path.fitted[best_ind]
+        else:
+            best_theta, best_fitted = _jit_sharded_fresh_solve(
+                ops, problem, lambda_grid[best_ind], lambda_grid[0] / 5.0,
+                solver_config)
+
+    if verbose:
+        print(f"Best lambda = {float(lambda_grid[best_ind]):.6g}")
+
+    model = _assemble_model(
+        data_np, y_np, spec, problem, final_path, lambda_grid,
+        best_ind, best_theta, best_fitted, cv_mses, solver_config)
+    return model
