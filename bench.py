@@ -159,7 +159,10 @@ def measure_objective_gap(cfg):
         return float(obj), int(iters)
 
     obj_fused, it_fused = converge(cfg)
-    cfg_xla = dataclasses.replace(cfg, use_pallas=False, chunk_iters=1)
+    # The comparison arm: exact f32 tol-driven DCT-PCG, no Pallas, no
+    # packed bf16 preconditioner — independent numerics.
+    cfg_xla = dataclasses.replace(cfg, use_pallas=False, chunk_iters=1,
+                                  xla_packed=False)
     obj_xla, it_xla = converge(cfg_xla)
     gap = abs(obj_fused - obj_xla) / max(abs(obj_xla), 1e-30)
     return gap, obj_fused, obj_xla, it_fused, it_xla

@@ -49,6 +49,20 @@ class SolverConfig:
     # residuals and updates stay float32 — but M becomes slightly inexact,
     # so it is opt-in.
     precond_bf16: bool = False
+    # The folded/packed-DCT fixed-step PCG x-update in plain XLA — the
+    # production path for lattices above the whole-lattice-VMEM Pallas
+    # gate (2048^2 / 4096^2 / 128^3).  Same numerics as the fused kernel
+    # (bf16 MXU preconditioner matmuls, f32 weights and CG vectors).
+    # False = the exact f32 tol-driven DCT-PCG (the independent
+    # comparison arm of the matched-objective benchmark gate).
+    xla_packed: bool = True
+    # Run the packed-XLA x-update's CG in the SPECTRAL domain (D'D is the
+    # diagonal eigenvalue array there): the Gram matvec and preconditioner
+    # become diagonal multiplies, trading the stencil's HBM passes for
+    # three extra MXU transforms per solve — the winning trade at 2048^2+
+    # where the iteration is bandwidth-bound.  Only used where xla_packed
+    # applies.
+    spectral_cg: bool = True
     # Convergence-check cadence for the fused multi-iteration kernel: run
     # this many ADMM iterations per kernel launch between Boyd stopping
     # checks (state stays VMEM-resident in between).  1 = check every

@@ -227,6 +227,59 @@ def idct2_packed(y: jax.Array, halves0, halves1,
                            axis=1)
 
 
+def dctn_packed(x: jax.Array, halves, mat_dtype=None) -> jax.Array:
+    """p-dim DCT-II over the trailing len(halves) axes via folded half-size
+    matmuls, PACKED (even, odd) frequency order along every transformed
+    axis (generalizes dct2_packed to any p; off-kernel, so the fold's flip
+    is a free jnp.flip).
+
+    Each axis is folded (s = top + flip(bottom), d = top - flip(bottom))
+    and contracted against the (n/2 x n/2) even/odd half matrices — half
+    the MXU FLOPs of the dense transform.  Contractions consume the first
+    non-batch axis and append the transformed axis last (the cyclic
+    no-transpose trick of _cyclic_transform), so after p axes the layout
+    is restored.  Spectral weights must be in packed order
+    (pack_spectrum).  mat_dtype=bfloat16 runs the matmuls at the MXU bf16
+    rate with f32 accumulation; folds and outputs stay in x.dtype.
+    """
+    nb = x.ndim - len(halves)
+    dtype = x.dtype
+    for te, to in halves:
+        h = x.shape[nb] // 2
+        md = mat_dtype or te.dtype
+        top = jax.lax.slice_in_dim(x, 0, h, axis=nb)
+        bot = jnp.flip(jax.lax.slice_in_dim(x, h, 2 * h, axis=nb), axis=nb)
+        s = (top + bot).astype(md)
+        d = (top - bot).astype(md)
+        e = jax.lax.dot_general(s, te.astype(md),
+                                (((nb,), (1,)), ((), ())),
+                                preferred_element_type=dtype)
+        o = jax.lax.dot_general(d, to.astype(md),
+                                (((nb,), (1,)), ((), ())),
+                                preferred_element_type=dtype)
+        x = jnp.concatenate([e, o], axis=-1)
+    return x
+
+
+def idctn_packed(y: jax.Array, halves, mat_dtype=None) -> jax.Array:
+    """Inverse of dctn_packed: packed-order input, natural-order output."""
+    nb = y.ndim - len(halves)
+    dtype = y.dtype
+    for te, to in halves:
+        h = y.shape[nb] // 2
+        md = mat_dtype or te.dtype
+        ye = jax.lax.slice_in_dim(y, 0, h, axis=nb).astype(md)
+        yo = jax.lax.slice_in_dim(y, h, 2 * h, axis=nb).astype(md)
+        a = jax.lax.dot_general(ye, te.astype(md),
+                                (((nb,), (0,)), ((), ())),
+                                preferred_element_type=dtype)
+        b = jax.lax.dot_general(yo, to.astype(md),
+                                (((nb,), (0,)), ((), ())),
+                                preferred_element_type=dtype)
+        y = jnp.concatenate([a + b, jnp.flip(a - b, axis=-1)], axis=-1)
+    return y
+
+
 def neumann_eigenvalues(n: int, dtype=jnp.float32) -> jax.Array:
     """Eigenvalues of the 1-D Neumann Laplacian Delta'Delta of size n."""
     k = jnp.arange(n, dtype=dtype)

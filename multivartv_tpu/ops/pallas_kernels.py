@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 # has far more (measured: a 28 MB-resident kernel compiles and runs with a
 # raised limit).  The fused whole-lattice kernels (5/6) sit just above
 # 16 MB at 512^2 with f32 eigenvalues, so every kernel raises the limit.
-VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+VMEM_LIMIT_BYTES = 110 * 1024 * 1024
 
 
 def _params():
@@ -471,14 +471,16 @@ def xupdate_pcg_2d(b: jax.Array, x0: jax.Array, counts: jax.Array,
 
 
 def xupdate_supported(m: Tuple[int, ...], binaries) -> bool:
-    """The one-kernel x-update needs ~10 lattice-sized f32 buffers plus
-    the two DCT matrices resident in VMEM (~16 MB/core): p == 2, full C++
-    block set, lattice <= 512^2 f32, axes small enough for the matrices."""
+    """The one-kernel x-update needs ~20 lattice-sized f32 buffers plus
+    the DCT half-matrices resident in VMEM: p == 2, full C++ block set,
+    lattice <= 1024^2 f32 (measured: the full-ADMM kernel's scoped-VMEM
+    stack peaks at 120.7 MB at 1024^2 under the 110 MB vmem_limit_bytes
+    + ~20 MB compiler headroom; 2048^2 would need 4x that)."""
     if len(m) != 2 or len(binaries) != 3:
         return False
     lattice_bytes = int(np.prod(m)) * 4
     mat_bytes = 2 * (m[0] * m[0] + m[1] * m[1])
-    return lattice_bytes <= (1 << 20) and mat_bytes <= (2 << 20)
+    return lattice_bytes <= (4 << 20) and mat_bytes <= (16 << 20)
 
 
 # ---------------------------------------------------------------------------

@@ -29,6 +29,28 @@ from multivartv_tpu.ops import dct as dct_ops
 from multivartv_tpu.solver.cg import pcg, pcg_fixed, pcg_fused
 from multivartv_tpu.solver.problem import Operators, Problem
 
+# Test hook: when True, the packed-DCT XLA x-update (the large-lattice
+# production path, TPU-gated below) is used off-TPU too, so its semantics
+# are testable on the CPU harness (same pattern as admm.FORCE_FUSED_INTERPRET).
+FORCE_XLA_PACKED = False
+
+
+def _xla_packed_applies(ops: Operators, cfg: SolverConfig) -> bool:
+    """The folded/packed-DCT PCG x-update in plain XLA: the production
+    path for lattices above the whole-lattice-VMEM kernel gate (2048^2,
+    4096^2, 128^3, ...).  Runs the SAME numerics as the fused Pallas
+    kernel — bf16 MXU matmuls for the preconditioner transforms, f32
+    spectral weights / CG vectors, a fixed handful of CG steps — so the
+    large-lattice regime is the small-lattice regime minus VMEM residency,
+    not a different algorithm."""
+    return (
+        cfg.xla_packed
+        and cfg.x_solver == "dct_pcg"
+        and ops.dct_halves is not None
+        and ops.gram_eigs_packed is not None
+        and (jax.default_backend() == "tpu" or FORCE_XLA_PACKED)
+    )
+
 
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             b: jax.Array, rho: jax.Array, x0: jax.Array,
@@ -85,6 +107,68 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
                 zhat = rhat / w
                 rz = jnp.sum(rhat * zhat)
                 return dct_ops.idctn_mat(zhat, mats), rz
+
+        res = pcg_fused(matvec_dot, precond_dot, b, x0, n_iters=n_steps)
+        return res.x, res.iters
+
+    if cfg.x_solver == "dct_pcg" and _xla_packed_applies(ops, cfg):
+        halves = ops.dct_halves
+        eigs_packed = ops.gram_eigs_packed
+        w = cbar + rho * eigs_packed
+        n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
+        md = jnp.bfloat16
+
+        def fwd(v):
+            return dct_ops.dctn_packed(v, halves, mat_dtype=md)
+
+        def inv(v):
+            return dct_ops.idctn_packed(v, halves, mat_dtype=md)
+
+        if cfg.spectral_cg:
+            # CG in the SPECTRAL domain, as a CORRECTION solve: A-hat =
+            # F diag(counts) F' + rho Lambda, so the Gram matvec is a
+            # diagonal multiply (no stencil passes) and the preconditioner
+            # a pure diagonal scale — at 2048^2+ the stencil/elementwise
+            # HBM traffic, not the MXU transforms, is the wall.  The
+            # initial residual r0 = b - A x0 is formed EXACTLY in f32 in
+            # the natural domain (one stencil matvec, vs four on the
+            # plain-PCG path) and the correction dx solved spectrally from
+            # zero: the bf16 transform error then scales with ||dx|| —
+            # which shrinks as ADMM converges — not with ||x||, so the
+            # Boyd residuals keep their f32 floor (iterative-refinement
+            # structure).  Dots are preserved by the orthonormal
+            # transform, so CG scalars live on spectral vectors directly.
+            from multivartv_tpu.solver.cg import _poison_if_nonfinite
+            eps = jnp.asarray(1e-30, b.dtype)
+            rl = rho * eigs_packed
+            rh = fwd(b - matvec(x0))
+            zh = rh / w
+            p = zh
+            rz = jnp.sum(rh * zh)
+            xh = jnp.zeros_like(rh)
+            for _ in range(n_steps):
+                ap = fwd(counts * inv(p)) + rl * p
+                alpha_cg = rz / jnp.maximum(jnp.sum(p * ap), eps)
+                xh = xh + alpha_cg * p
+                rh = rh - alpha_cg * ap
+                zh = rh / w
+                rz_new = jnp.sum(rh * zh)
+                beta = rz_new / jnp.maximum(rz, eps)
+                p = zh + beta * p
+                rz = rz_new
+            x = x0 + inv(xh)
+            return (_poison_if_nonfinite(x, rz),
+                    jnp.asarray(n_steps, jnp.int32))
+
+        def matvec_dot(v):
+            av = matvec(v)
+            return av, jnp.sum(v * av)
+
+        def precond_dot(r):
+            rhat = fwd(r)
+            zhat = rhat / w
+            rz = jnp.sum(rhat * zhat)
+            return inv(zhat), rz
 
         res = pcg_fused(matvec_dot, precond_dot, b, x0, n_iters=n_steps)
         return res.x, res.iters

@@ -14,7 +14,11 @@ if "--xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# MVTV_TPU_TESTS=1 leaves the backend alone so the tpu-marked live tests
+# (tests/test_tpu_live.py) run against the real chip:
+#   MVTV_TPU_TESTS=1 python -m pytest tests/test_tpu_live.py -q
+if os.environ.get("MVTV_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -103,6 +103,47 @@ def test_packed_dct_matches_dense(rng):
     assert np.allclose(np.asarray(back), np.asarray(v), atol=1e-5)
 
 
+@pytest.mark.parametrize("m", [(16,), (16, 24), (8, 6, 10)])
+def test_dctn_packed_matches_dense(m, rng):
+    """The p-dim folded transform (ops/dct.py::dctn_packed) is an exact
+    per-axis packed reordering of the dense transform, for any p."""
+    v = jnp.asarray(rng.randn(*m).astype(np.float32))
+    mats = dct.dct_matrices(m)
+    halves = tuple(dct.dct_packed_halves(n) for n in m)
+    got = dct.dctn_packed(v, halves)
+    want = dct.pack_spectrum(dct.dctn_mat(v, mats))
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    back = dct.idctn_packed(got, halves)
+    assert np.allclose(np.asarray(back), np.asarray(v), atol=1e-5)
+    # leading batch dim (the CV-fold / lambda-sweep vmap axis)
+    vb = jnp.stack([v, 2 * v])
+    gb = dct.dctn_packed(vb, halves)
+    assert np.allclose(np.asarray(gb[1]), 2 * np.asarray(got), atol=1e-5)
+
+
+def test_dctn_packed_agrees_with_dct2_packed(rng):
+    """p=2 special case: the generic transform equals the 2-D one the
+    Pallas kernels use."""
+    m = (16, 24)
+    v = jnp.asarray(rng.randn(*m).astype(np.float32))
+    halves = tuple(dct.dct_packed_halves(n) for n in m)
+    a = dct.dctn_packed(v, halves)
+    b = dct.dct2_packed(v, halves[0], halves[1])
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dctn_packed_bf16_close(rng):
+    """bf16 matmul dtype (the TPU production setting) stays within bf16
+    rounding of the f32 transform."""
+    m = (16, 24, 8)
+    v = jnp.asarray(rng.randn(*m).astype(np.float32))
+    halves = tuple(dct.dct_packed_halves(n) for n in m)
+    a = dct.dctn_packed(v, halves)
+    b = dct.dctn_packed(v, halves, mat_dtype=jnp.bfloat16)
+    scale = float(jnp.max(jnp.abs(a)))
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=0.05 * scale)
+
+
 def test_packed_spectral_solve_matches_dense(rng):
     """Elementwise spectral weighting commutes with the packed order."""
     m = (32, 16)

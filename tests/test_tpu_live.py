@@ -1,0 +1,133 @@
+"""Live-TPU correctness tests: the real-hardware semantics the CPU
+harness can only approximate (bf16 MXU rounding, pltpu.roll lowering,
+input/output aliasing in the fused kernels, the packed-DCT XLA path).
+
+Skipped on the CPU harness; run on a chip with
+    MVTV_TPU_TESTS=1 python -m pytest tests/test_tpu_live.py -q
+Keep shapes modest: every distinct jitted program costs a remote compile
+over the axon tunnel (see CLAUDE.md).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.solver import admm
+from multivartv_tpu.solver.problem import Problem, build_operators
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="live-TPU test (set MVTV_TPU_TESTS=1 on a TPU host)")
+
+M = (256, 512)  # batched-kernel alignment: m0 % 8 == 0, m1 % 128 == 0
+
+
+def _problem(m, seed=117):
+    rng = np.random.RandomState(seed)
+    counts = jnp.asarray(rng.poisson(4, m).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+    return Problem(counts=counts, oty=oty,
+                   ybar=jnp.sum(oty) / jnp.sum(counts),
+                   flat_idx=jnp.zeros((1,), jnp.int32),
+                   y=jnp.zeros((1,), jnp.float32))
+
+
+def _objective(ops, problem, theta, lam):
+    fid, pen = admm.objective(ops, problem, theta)
+    return float(fid + lam * pen)
+
+
+@pytest.fixture(scope="module")
+def solved():
+    """Solve the SAME problem three ways on the chip, once per module:
+    fused multi-iteration kernel, packed-XLA, exact f32 reference arm."""
+    problem = _problem(M)
+    lam = jnp.asarray(0.05, jnp.float32)
+    deltas = jnp.asarray([2.0 / M[0], 2.0 / M[1]], jnp.float32)
+    out = {}
+    for name, cfg in [
+        ("fused", SolverConfig()),
+        ("packed_xla", SolverConfig(use_pallas=False)),
+        ("exact_f32", SolverConfig(use_pallas=False, xla_packed=False,
+                                   chunk_iters=1)),
+    ]:
+        ops = build_operators(M, deltas, cfg, jnp.float32)
+
+        @jax.jit
+        def run(ops=ops, cfg=cfg):
+            s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+            return admm.admm_solve(ops, problem, lam, s0, cfg)
+        st = jax.block_until_ready(run())
+        out[name] = (ops, st, _objective(ops, problem, st.theta,
+                                         float(lam)))
+    return problem, float(lam), out
+
+
+def test_all_paths_converge(solved):
+    _, _, out = solved
+    for name, (_, st, obj) in out.items():
+        assert np.isfinite(obj), name
+        d = admm.solver_diagnostics(st)
+        assert d["converged"], (name, d)
+
+
+def test_matched_objective_on_chip(solved):
+    """BASELINE's 'at matched objective' gate as a test: the fused kernel
+    and packed-XLA solves must land on the exact-f32 arm's objective."""
+    _, _, out = solved
+    obj_ref = out["exact_f32"][2]
+    for name in ("fused", "packed_xla"):
+        gap = abs(out[name][2] - obj_ref) / abs(obj_ref)
+        assert gap < 1e-3, (name, gap, out[name][2], obj_ref)
+
+
+def test_theta_close_across_paths(solved):
+    """TV plateaus make theta itself comparable only loosely; still, the
+    three arms must agree elementwise at solver tolerance scale."""
+    _, _, out = solved
+    t_ref = np.asarray(out["exact_f32"][1].theta)
+    scale = max(1e-6, float(np.abs(t_ref).max()))
+    for name in ("fused", "packed_xla"):
+        t = np.asarray(out[name][1].theta)
+        assert np.max(np.abs(t - t_ref)) < 5e-3 * scale, name
+
+
+def test_batched_kernel_matches_unbatched_on_chip():
+    """grid=(B,) kernel vs the single-problem fused kernel on real
+    hardware (DMA/SMEM semantics only interpret-tested elsewhere)."""
+    problems = [_problem(M, seed=s) for s in (1, 2)]
+    counts = jnp.stack([p.counts for p in problems])
+    oty = jnp.stack([p.oty for p in problems])
+    # Every leaf carries the B leading axis so initial_state vmaps.
+    batch = Problem(counts=counts, oty=oty,
+                    ybar=jnp.zeros((2,), jnp.float32),
+                    flat_idx=jnp.zeros((2, 1), jnp.int32),
+                    y=jnp.zeros((2, 1), jnp.float32))
+    lam = jnp.asarray(0.05, jnp.float32)
+    deltas = jnp.asarray([2.0 / M[0], 2.0 / M[1]], jnp.float32)
+    cfg = SolverConfig(cg_fixed_iters=3)
+    ops = build_operators(M, deltas, cfg, jnp.float32)
+    assert admm.fused_batched_available(ops, batch, cfg)
+
+    @jax.jit
+    def run_batched():
+        s0 = jax.vmap(
+            lambda pr: admm.initial_state(ops, pr, rho0=lam / 5.0)
+        )(batch)
+        return admm.admm_fixed_iterations_batched(
+            ops, batch, jnp.full((2,), lam), s0, cfg, 24).theta
+
+    @jax.jit
+    def run_single(pr):
+        s0 = admm.initial_state(ops, pr, rho0=lam / 5.0)
+        return admm.admm_fixed_iterations(ops, pr, lam, s0, cfg, 24).theta
+
+    tb = np.asarray(jax.block_until_ready(run_batched()))
+    for i, pr in enumerate(problems):
+        ts = np.asarray(jax.block_until_ready(run_single(pr)))
+        scale = max(1e-6, float(np.abs(ts).max()))
+        assert np.max(np.abs(tb[i] - ts)) < 1e-3 * scale, i

@@ -1,0 +1,105 @@
+"""The packed-DCT XLA x-update — the production path for lattices above
+the whole-lattice-VMEM Pallas gate (2048^2 / 4096^2 / 128^3; see
+solver/xupdate.py::_xla_packed_applies).  Forced on the CPU harness via
+xupdate.FORCE_XLA_PACKED (same pattern as admm.FORCE_FUSED_INTERPRET)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.solver import admm, xupdate
+from multivartv_tpu.solver.problem import Problem, build_operators
+
+
+@pytest.fixture()
+def force_packed(monkeypatch):
+    monkeypatch.setattr(xupdate, "FORCE_XLA_PACKED", True)
+
+
+def _problem(m, seed=31):
+    rng = np.random.RandomState(seed)
+    counts = jnp.asarray(rng.poisson(3, m).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+    return Problem(counts=counts, oty=oty,
+                   ybar=jnp.sum(oty) / jnp.sum(counts),
+                   flat_idx=jnp.zeros((1,), jnp.int32),
+                   y=jnp.zeros((1,), jnp.float32))
+
+
+def _objective(ops, problem, theta, lam):
+    fid, pen = admm.objective(ops, problem, theta)
+    return float(fid + lam * pen)
+
+
+@pytest.mark.parametrize("spectral", [True, False])
+@pytest.mark.parametrize("m,deltas", [
+    ((16, 24), (0.4, 0.9)),
+    ((8, 6, 10), (0.5, 0.8, 1.2)),   # the 128^3-class 3-D regime
+])
+def test_packed_solve_matches_reference_path(m, deltas, spectral,
+                                             force_packed):
+    """admm_solve through the packed bf16 fixed-step x-update (natural- or
+    spectral-domain CG) converges to the same objective as the exact f32
+    tol-driven path."""
+    problem = _problem(m)
+    deltas = jnp.asarray(deltas, jnp.float32)
+    lam = jnp.asarray(0.08, jnp.float32)
+
+    cfg = SolverConfig(chunk_iters=1, spectral_cg=spectral)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert xupdate._xla_packed_applies(ops, cfg)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(m, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+    assert float(out.primal_norm) <= float(out.eps_primal)
+    assert float(out.dual_norm) <= float(out.eps_dual)
+
+
+def test_packed_solve_vmaps(force_packed):
+    """The packed x-update batches (CV folds / lambda sweeps at large
+    lattices go through vmap over this path)."""
+    m = (16, 24)
+    deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+    cfg = SolverConfig(chunk_iters=1, cg_fixed_iters=3, max_iters=40)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    problems = [_problem(m, seed=s) for s in (1, 2, 3)]
+    counts = jnp.stack([p.counts for p in problems])
+    oty = jnp.stack([p.oty for p in problems])
+    lam = jnp.asarray(0.08, jnp.float32)
+
+    def solve(c, t):
+        pr = Problem(counts=c, oty=t, ybar=jnp.sum(t) / jnp.sum(c),
+                     flat_idx=jnp.zeros((1,), jnp.int32),
+                     y=jnp.zeros((1,), jnp.float32))
+        s0 = admm.initial_state(ops, pr, rho0=lam / 5.0)
+        return admm.admm_solve(ops, pr, lam, s0, cfg, batched=True).theta
+
+    batched = jax.vmap(solve)(counts, oty)
+    for i, p in enumerate(problems):
+        single = solve(p.counts, p.oty)
+        # vmapped dot_general may tile/round the bf16 matmuls differently;
+        # the preconditioner-only difference stays at bf16 rounding level.
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single), atol=1e-3)
+
+
+def test_packed_gate_requires_halves():
+    """Odd axis sizes have no folded halves; the packed path must not
+    claim to apply (falls back to the dense/FFT preconditioner)."""
+    cfg = SolverConfig()
+    ops = build_operators((15, 9), jnp.asarray([0.5, 0.5]), cfg,
+                          jnp.float32)
+    assert ops.dct_halves is None
+    assert not xupdate._xla_packed_applies(ops, cfg)
