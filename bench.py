@@ -20,8 +20,12 @@ extras (each guarded; a failure records a string instead of a number):
   objective_rel_gap_512     |obj_fused - obj_xla| / obj_xla, both solved
                             to Boyd convergence at 512^2 on TPU (matched-
                             objective gate: BASELINE "at matched objective")
-  iters_per_s_2048, _4096   XLA fallback path above the VMEM kernel gate
-  iters_per_s_128cube       3-D 128^3 DCT-PCG path (BASELINE config 4)
+  iters_per_s_1024          one-kernel path at the raised 1024^2 gate
+  iters_per_s_2048, _4096   packed-spectral XLA path above the VMEM
+                            kernel gate (bf16 MXU folded-DCT transforms,
+                            spectral-correction CG — solver/xupdate.py)
+  iters_per_s_128cube       3-D 128^3 packed-spectral path (BASELINE
+                            config 4)
 
 Baseline: the reference C++ performs a SuperLU factorize+solve of the
 262144-unknown sparse system (O'O + rho D'D) inside *every* ADMM iteration
@@ -180,9 +184,16 @@ def measure_scale(cfg, m, n_samples, lo, hi):
     lam = jnp.asarray(LAM, jnp.float32)
     state0 = initial_state(ops, problem, rho0=lam / 5.0)
 
-    @partial(jax.jit, static_argnums=(1,))
+    # ops/problem ride as jit ARGUMENTS, not closure constants: at 4096^2+
+    # the DCT halves/eigenvalues closed over as constants get embedded in
+    # the HLO literal-by-literal (hundreds of MB through the remote-compile
+    # tunnel — 8192^2 trips its request-size limit outright).
+    @partial(jax.jit, static_argnums=(3,))
+    def run_args(o, pr, st, n):
+        return admm_fixed_iterations(o, pr, lam, st, cfg, n).theta
+
     def run(st, n):
-        return admm_fixed_iterations(ops, problem, lam, st, cfg, n).theta
+        return run_args(ops, problem, st, n)
 
     iters_per_s, dt, _ = _slope_time(run, state0, lo, hi, repeats=2)
     return iters_per_s
@@ -274,6 +285,9 @@ def main():
                   f"({itx} it)", file=sys.stderr)
             return round(gap, 8)
         extras["objective_rel_gap_512"] = guarded("objective_gap", _gap)
+        extras["iters_per_s_1024"] = guarded(
+            "1024^2", lambda: round(measure_scale(
+                cfg, (1024, 1024), 1 << 21, 100, 1100), 1))
         extras["iters_per_s_2048"] = guarded(
             "2048^2", lambda: round(measure_scale(
                 cfg, (2048, 2048), 1 << 22, 20, 120), 1))

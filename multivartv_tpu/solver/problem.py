@@ -105,12 +105,15 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     )
     # Folded-DCT halves are built independently of the dense matrices: the
     # (n/2 x n/2) half pair costs n^2/2 elements per axis, affordable well
-    # past the dense-matrix gate (4096 -> 2 x 33 MB f32 per axis), and the
-    # packed x-update path is what keeps 2048^2-4096^2 lattices off the
-    # slow FFT-DCT lowering (see solver/xupdate.py).
+    # past the dense-matrix gate (8192 -> 2 x 134 MB f32 per axis in HBM),
+    # and the packed x-update path is what keeps 2048^2-8192^2 lattices
+    # off the slow FFT-DCT lowering (see solver/xupdate.py).  8192^2 is
+    # 67M parameters on one chip — the regime where the reference's
+    # per-iteration SuperLU factorization (solvers.cpp:113) is infeasible
+    # outright (rcpp-code/README.md:9 flags memory as its wall).
     dct_halves = None
     gram_eigs_packed = None
-    if (need_dct and max(m) <= 4096
+    if (need_dct and max(m) <= 8192
             and all(v % 2 == 0 for v in m)):
         dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
         gram_eigs_packed = dct_ops.pack_spectrum(gram_eigs)

@@ -14,6 +14,7 @@ for name, m, n, lo, hi in [
     ("2048^2", (2048, 2048), 1 << 22, 20, 220),
     ("4096^2", (4096, 4096), 1 << 22, 10, 60),
     ("128^3", (128, 128, 128), 1 << 21, 20, 220),
+    ("8192^2", (8192, 8192), 1 << 23, 3, 18),
 ]:
     t0 = time.perf_counter()
     try:

@@ -55,9 +55,12 @@ timeit("transform", lambda v: dct_ops.idctn_packed(
 
 timeit("gram", lambda v: counts * v + rho * ops.apply_gram(v), v0)
 
-timeit("precond", lambda v: dct_ops.idctn_packed(
-    dct_ops.dctn_packed(v, halves, mat_dtype=jnp.bfloat16) / w,
-    halves, mat_dtype=jnp.bfloat16), v0)
+
+def rhsstage(v):
+    au = tuple(a + 1e-9 * w_ for a, w_ in zip(ops.apply_D(v), ops.apply_D(v)))
+    return problem.oty + rho * ops.apply_Dt(au) + 1e-12 * v
+
+timeit("rhsstage", rhsstage, v0)
 
 
 def dualstage(v):
