@@ -12,6 +12,19 @@ convergence-check cadence (SolverConfig chunk auto = solver/admm.py::
 AUTO_CHUNK) — the exact configuration admm_solve uses — with the
 single-kernel upper bound reported in extras.
 
+Resilience (the round-2 lesson, BENCH_r02.json rc=1): the axon tunnel can
+drop mid-run, surfacing as FAILED_PRECONDITION / backend errors on any
+device call.  Every measurement here therefore
+  (a) passes ops/problem/state into jit as ARGUMENTS — never closure
+      constants, so tracing never needs to fetch a device array back
+      through the tunnel for MLIR constant embedding (the exact crash of
+      round 2), and
+  (b) runs under _with_retry: on ANY exception all device arrays are
+      rebuilt from host data and the measurement re-attempted with
+      backoff.
+A global deadline bounds total runtime so the driver never times out:
+extras are skipped (recorded as "skipped: deadline") once past it.
+
 extras (each guarded; a failure records a string instead of a number):
   chunk_iters               cadence the headline was measured at
   kernel_resident_iters_per_s  all BENCH iterations in ONE kernel launch
@@ -59,6 +72,33 @@ LAM = 0.05
 # scipy SuperLU at 512^2 measured at 2.5-3.5 s/iteration on this class of
 # hardware; used only if the live measurement below fails.
 FALLBACK_BASELINE_ITERS_PER_S = 0.4
+# Total wall-clock budget; past it, remaining extras are skipped.
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+_T_START = time.time()
+
+RETRY_ATTEMPTS = 3
+RETRY_BACKOFF_S = 15.0
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.time() - _T_START)
+
+
+def _with_retry(name, fn, attempts=RETRY_ATTEMPTS):
+    """Run fn(); on any exception rebuild-from-scratch and retry.
+
+    fn must construct ALL device arrays itself (every measure_* below
+    does), so a retry starts from fresh host data — nothing stale survives
+    a backend loss."""
+    for a in range(attempts):
+        try:
+            return fn()
+        except Exception as e:
+            print(f"# {name}: attempt {a + 1}/{attempts} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+            if a == attempts - 1 or _remaining() < 60:
+                raise
+            time.sleep(RETRY_BACKOFF_S * (a + 1))
 
 
 def _slope_time(run, state0, lo, hi, repeats=3):
@@ -93,23 +133,31 @@ def _make(m, n_samples, cfg, seed=117, batch=None):
     return ops, problem
 
 
-def measure_tpu_iters_per_s(cfg):
+def measure_tpu_iters_per_s(cfg, m=M, n_samples=N_SAMPLES,
+                            lo=BENCH_ITERS_LO, hi=BENCH_ITERS_HI,
+                            repeats=3):
     import jax
     import jax.numpy as jnp
     from functools import partial
     from multivartv_tpu.solver.admm import (
         admm_fixed_iterations, initial_state)
 
-    ops, problem = _make(M, N_SAMPLES, cfg)
+    ops, problem = _make(m, n_samples, cfg)
     lam = jnp.asarray(LAM, jnp.float32)
     state0 = initial_state(ops, problem, rho0=lam / 5.0)
 
-    @partial(jax.jit, static_argnums=(1,))
-    def run(st, n):
-        return admm_fixed_iterations(ops, problem, lam, st, cfg, n).theta
+    # ops/problem/state ride as jit ARGUMENTS, not closure constants:
+    # constant embedding would fetch every device array back through the
+    # tunnel at trace time (the BENCH_r02 crash), and at 4096^2+ would
+    # push hundreds of MB of HLO literals through the remote compiler.
+    @partial(jax.jit, static_argnums=(3,))
+    def run_args(o, pr, st, n):
+        return admm_fixed_iterations(o, pr, lam, st, cfg, n).theta
 
-    iters_per_s, dt, _ = _slope_time(run, state0, BENCH_ITERS_LO,
-                                     BENCH_ITERS_HI)
+    def run(st, n):
+        return run_args(ops, problem, st, n)
+
+    iters_per_s, dt, _ = _slope_time(run, state0, lo, hi, repeats=repeats)
     return iters_per_s, dt
 
 
@@ -130,10 +178,12 @@ def measure_batched_iters_per_s(cfg, B=5):
     state0 = jax.vmap(
         lambda pr, l: initial_state(ops, pr, rho0=l / 5.0))(problems, lams)
 
-    @partial(jax.jit, static_argnums=(1,))
+    @partial(jax.jit, static_argnums=(3,))
+    def run_args(o, pr, st, n):
+        return admm_fixed_iterations_batched(o, pr, lams, st, cfg, n).theta
+
     def run(st, n):
-        return admm_fixed_iterations_batched(
-            ops, problems, lams, st, cfg, n).theta
+        return run_args(ops, problems, st, n)
 
     lo, hi = 100, 600
     iters_per_s, dt, _ = _slope_time(run, state0, lo, hi)
@@ -154,12 +204,12 @@ def measure_objective_gap(cfg):
 
     def converge(c):
         @jax.jit
-        def run():
-            st = initial_state(ops, problem, rho0=lam / 5.0)
-            st = admm_solve(ops, problem, lam, st, c)
-            fid, pen = objective(ops, problem, st.theta)
+        def run(o, pr):
+            st = initial_state(o, pr, rho0=lam / 5.0)
+            st = admm_solve(o, pr, lam, st, c)
+            fid, pen = objective(o, pr, st.theta)
             return fid + lam * pen, st.counter
-        obj, iters = run()
+        obj, iters = run(ops, problem)
         return float(obj), int(iters)
 
     obj_fused, it_fused = converge(cfg)
@@ -174,29 +224,8 @@ def measure_objective_gap(cfg):
 
 def measure_scale(cfg, m, n_samples, lo, hi):
     """iters/s at an arbitrary lattice (XLA fallback above kernel gates)."""
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-    from multivartv_tpu.solver.admm import (
-        admm_fixed_iterations, initial_state)
-
-    ops, problem = _make(m, n_samples, cfg)
-    lam = jnp.asarray(LAM, jnp.float32)
-    state0 = initial_state(ops, problem, rho0=lam / 5.0)
-
-    # ops/problem ride as jit ARGUMENTS, not closure constants: at 4096^2+
-    # the DCT halves/eigenvalues closed over as constants get embedded in
-    # the HLO literal-by-literal (hundreds of MB through the remote-compile
-    # tunnel — 8192^2 trips its request-size limit outright).
-    @partial(jax.jit, static_argnums=(3,))
-    def run_args(o, pr, st, n):
-        return admm_fixed_iterations(o, pr, lam, st, cfg, n).theta
-
-    def run(st, n):
-        return run_args(ops, problem, st, n)
-
-    iters_per_s, dt, _ = _slope_time(run, state0, lo, hi, repeats=2)
-    return iters_per_s
+    return measure_tpu_iters_per_s(cfg, m=m, n_samples=n_samples,
+                                   lo=lo, hi=hi, repeats=2)[0]
 
 
 def measure_reference_baseline(budget_s: float = 120.0):
@@ -251,21 +280,32 @@ def main():
     cfg = SolverConfig()           # PRODUCTION config (chunk auto)
     extras = {"chunk_iters": resolve_chunk(cfg)}
 
-    iters_per_s, dt = measure_tpu_iters_per_s(cfg)
-    print(f"# tpu: {iters_per_s:.1f} ADMM iters/s at production cadence "
-          f"chunk={extras['chunk_iters']} (slope over "
-          f"{BENCH_ITERS_HI - BENCH_ITERS_LO} iters, {dt:.3f}s)",
-          file=sys.stderr)
+    headline_err = None
+    try:
+        iters_per_s, dt = _with_retry(
+            "headline", lambda: measure_tpu_iters_per_s(cfg))
+        print(f"# tpu: {iters_per_s:.1f} ADMM iters/s at production cadence "
+              f"chunk={extras['chunk_iters']} (slope over "
+              f"{BENCH_ITERS_HI - BENCH_ITERS_LO} iters, {dt:.3f}s)",
+              file=sys.stderr)
+    except Exception as e:
+        headline_err = f"{type(e).__name__}: {str(e)[:300]}"
+        iters_per_s = 0.0
+        print(f"# headline FAILED after retries: {headline_err}",
+              file=sys.stderr)
 
     def guarded(name, fn):
+        if _remaining() < 120:
+            print(f"# {name} skipped: deadline", file=sys.stderr)
+            return "skipped: deadline"
         try:
             t0 = time.perf_counter()
-            val = fn()
+            val = _with_retry(name, fn, attempts=2)
             print(f"# {name} = {val} [{time.perf_counter()-t0:.1f}s]",
                   file=sys.stderr)
             return val
         except Exception as e:  # record, never kill the headline
-            msg = f"failed: {type(e).__name__}: {e}"
+            msg = f"failed: {type(e).__name__}: {str(e)[:200]}"
             print(f"# {name} {msg}", file=sys.stderr)
             return msg
 
@@ -301,13 +341,16 @@ def main():
     baseline = measure_reference_baseline()
     print(f"# reference proxy (SuperLU single-core): {baseline:.3f} iters/s",
           file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "admm_iterations_per_s_512x512_per_chip",
         "value": round(iters_per_s, 2),
         "unit": "iterations/s",
         "vs_baseline": round(iters_per_s / baseline, 2),
         "extras": extras,
-    }))
+    }
+    if headline_err is not None:
+        result["error"] = headline_err
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -79,10 +79,20 @@ class SolverConfig:
     # reference C++ includes it (utils.cpp:225-230); the reference Python
     # drops it when deltas are supplied (code/utils.py:145).
     include_full_mixed: bool = True
+    # Stopping rule: "boyd" = relative primal/dual residuals (reference
+    # C++, solvers.cpp:110-122); "theta_inf" = elementwise
+    # |theta - theta_old| <= tol (reference Python prototype,
+    # code/solvers.py:69).  The full prototype semantics are
+    # SolverConfig(stop_rule="theta_inf", adapt_rho=False, tol=1e-3,
+    # include_full_mixed=False, max_iters=5000) with rho0 = lambda and
+    # initial_state(..., u_fill=1/lambda) (code/solvers.py:55-62).
+    stop_rule: str = "boyd"
 
     def __post_init__(self):
         if self.x_solver not in ("dct_pcg", "jacobi_pcg", "dct_direct", "cg"):
             raise ValueError(f"unknown x_solver: {self.x_solver!r}")
+        if self.stop_rule not in ("boyd", "theta_inf"):
+            raise ValueError(f"unknown stop_rule: {self.stop_rule!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -246,6 +246,8 @@ def dctn_packed(x: jax.Array, halves, mat_dtype=None) -> jax.Array:
     dtype = x.dtype
     for te, to in halves:
         h = x.shape[nb] // 2
+        assert 2 * h == x.shape[nb], (
+            f"dctn_packed needs even axes, got {x.shape[nb]}")
         md = mat_dtype or te.dtype
         top = jax.lax.slice_in_dim(x, 0, h, axis=nb)
         bot = jnp.flip(jax.lax.slice_in_dim(x, h, 2 * h, axis=nb), axis=nb)
@@ -267,6 +269,8 @@ def idctn_packed(y: jax.Array, halves, mat_dtype=None) -> jax.Array:
     dtype = y.dtype
     for te, to in halves:
         h = y.shape[nb] // 2
+        assert 2 * h == y.shape[nb], (
+            f"idctn_packed needs even axes, got {y.shape[nb]}")
         md = mat_dtype or te.dtype
         ye = jax.lax.slice_in_dim(y, 0, h, axis=nb).astype(md)
         yo = jax.lax.slice_in_dim(y, h, 2 * h, axis=nb).astype(md)

@@ -33,13 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Mosaic's default scoped-VMEM limit is 16 MB, but a v5e core physically
 # has far more (measured: a 28 MB-resident kernel compiles and runs with a
-# raised limit).  The fused whole-lattice kernels (5/6) sit just above
-# 16 MB at 512^2 with f32 eigenvalues, so every kernel raises the limit.
-VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+# raised limit; the 1024^2 full-ADMM kernel's scoped demand is 120.7 MB).
+# The limit is derived from the detected device generation so a
+# smaller-VMEM part is never asked for more than it has — small lattices
+# still compile there under the conservative limit, and the large-lattice
+# gates (xupdate_supported) are sized against the v5e-class budget.
+_VMEM_BY_KIND = (
+    ("v5 lite", 110), ("v5e", 110), ("v5p", 110), ("v6", 110), ("v4", 110),
+)
+_DEFAULT_VMEM_MB = 96
+
+
+@functools.cache
+def _vmem_limit_bytes() -> int:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        kind = ""
+    mb = next((v for k, v in _VMEM_BY_KIND if k in kind), _DEFAULT_VMEM_MB)
+    return mb * 1024 * 1024
 
 
 def _params():
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+    return pltpu.CompilerParams(vmem_limit_bytes=_vmem_limit_bytes())
 
 
 def _shift_down(x, axis):
@@ -480,7 +496,10 @@ def xupdate_supported(m: Tuple[int, ...], binaries) -> bool:
         return False
     lattice_bytes = int(np.prod(m)) * 4
     mat_bytes = 2 * (m[0] * m[0] + m[1] * m[1])
-    return lattice_bytes <= (4 << 20) and mat_bytes <= (16 << 20)
+    # The 1024^2 (4 MB-lattice) variant needs the full 110 MB limit; on a
+    # part granted less, gate at 512^2 (1 MB lattice, ~28 MB resident).
+    gate = (4 << 20) if _vmem_limit_bytes() >= 110 * 1024 * 1024 else (1 << 20)
+    return lattice_bytes <= gate and mat_bytes <= (16 << 20)
 
 
 # ---------------------------------------------------------------------------

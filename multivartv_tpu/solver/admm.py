@@ -69,15 +69,24 @@ class ADMMState:
 
 def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
                   theta0: jax.Array | None = None,
-                  u0: Tuple[jax.Array, ...] | None = None) -> ADMMState:
+                  u0: Tuple[jax.Array, ...] | None = None,
+                  u_fill: jax.Array | float | None = None) -> ADMMState:
     """theta filled with mean(y), u zero, alpha = D theta (reference
     mbs_path inits, solvers.cpp:207-209; admm_update alpha init,
-    solvers.cpp:101)."""
+    solvers.cpp:101).  u_fill: constant fill for u instead of zero — the
+    reference Python prototype uses u0 = 1/lambda (code/solvers.py:62).
+    Note the padded-block convention (ops/diff.py): trailing edges must be
+    zero, so a fill writes only the valid region of each block."""
     dtype = problem.oty.dtype
     if theta0 is None:
         theta0 = jnp.full(ops.m, problem.ybar, dtype)
     if u0 is None:
         u0 = diff_ops.zeros_like_blocks(ops.m, ops.binaries, dtype)
+        if u_fill is not None:
+            fill = jnp.asarray(u_fill, dtype)
+            u0 = tuple(
+                z + fill * diff_ops.edge_mask(ops.m, b, dtype)
+                for z, b in zip(u0, ops.binaries))
     one = jnp.ones((), dtype)
     return ADMMState(
         theta=theta0,
@@ -160,6 +169,18 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         # Boyd thresholds (solvers.cpp:119-122)
         eps_dual = tol * (sqrt_ntheta + dtu_norm)
         eps_primal = tol * (sqrt_rowsd + jnp.maximum(d_theta_norm, alpha_norm))
+        # Reference-Python stopping (code/solvers.py:69): elementwise
+        # |theta - theta_old| <= tol.  The stopping fields are overridden
+        # (primal <- max|dtheta|, dual disabled); the Boyd norms above
+        # still feed the adaptive-rho logic if it is enabled.
+        if cfg.stop_rule == "theta_inf":
+            stop_primal = jnp.max(jnp.abs(theta - s.theta))
+            stop_eps_primal = tol
+            stop_dual = jnp.zeros((), dtype)
+            stop_eps_dual = jnp.ones((), dtype)
+        else:
+            stop_primal, stop_eps_primal = primal_norm, eps_primal
+            stop_dual, stop_eps_dual = dual_norm, eps_dual
         # Adaptive rho (adapt_step, solvers.cpp:77-94); the inverse dual
         # rescale u /= factor is carried as next iteration's u_scale.
         rho = s.rho
@@ -178,10 +199,10 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             u=u,
             rho=rho,
             counter=s.counter + 1,
-            primal_norm=primal_norm,
-            dual_norm=dual_norm,
-            eps_primal=eps_primal,
-            eps_dual=eps_dual,
+            primal_norm=stop_primal,
+            dual_norm=stop_dual,
+            eps_primal=stop_eps_primal,
+            eps_dual=stop_eps_dual,
             cg_iters=s.cg_iters + cg_it,
             u_scale=new_scale,
         )
@@ -198,6 +219,7 @@ def fused_iterations_available(ops: Operators, problem: Problem,
         cfg.use_pallas
         and not batched
         and cfg.x_solver == "dct_pcg"
+        and cfg.stop_rule == "boyd"   # in-kernel stats are Boyd norms
         and ops.dct_halves is not None
         and ops.gram_eigs_packed is not None
         and pk.xupdate_supported(ops.m, ops.binaries)
@@ -350,6 +372,7 @@ def fused_batched_available(ops: Operators, problem: Problem,
     return (
         cfg.use_pallas
         and cfg.x_solver == "dct_pcg"
+        and cfg.stop_rule == "boyd"   # in-kernel stats are Boyd norms
         and ops.dct_halves is not None
         and ops.gram_eigs_packed is not None
         and pk.batched_supported(ops.m, ops.binaries)

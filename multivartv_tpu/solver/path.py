@@ -57,6 +57,34 @@ def create_lambdas(lambda_max: jax.Array, pcfg: PathConfig) -> jax.Array:
     return jnp.exp(jnp.linspace(lo, hi, pcfg.n_lambda))[::-1]
 
 
+# Auto-degrade budget for PathConfig.store == "fitted": storing per-lambda
+# thetas + fitted values beyond this many elements (1 GiB of f32) silently
+# exhausts HBM at large lattices (2048^2 x 100 lambdas is ~1.7 GB of
+# thetas alone), so the path falls back to store="mse" with a logged
+# notice.  The reference keeps full models only because its meshes are
+# tiny (listPATH, solvers.cpp:292-302).
+STORE_BUDGET_ELEMS = 1 << 28
+
+
+def _effective_store(ops: Operators, problem: Problem, lambdas: jax.Array,
+                     pcfg: PathConfig, batch: int = 1) -> PathConfig:
+    if pcfg.store != "fitted":
+        return pcfg
+    n_lambda = int(lambdas.shape[0])
+    n = int(problem.y.shape[-1])
+    elems = batch * n_lambda * (ops.ntheta + n)
+    if elems > STORE_BUDGET_ELEMS:
+        from multivartv_tpu.utils.logging import get_logger
+        get_logger().warning(
+            "store='fitted' would keep %.2f G elements (%d lambdas x "
+            "(%d knots + %d samples) x batch %d); auto-degrading to "
+            "store='mse'.  Pass PathConfig(store='mse') or solve fewer "
+            "lambdas to silence this.",
+            elems / 1e9, n_lambda, ops.ntheta, n, batch)
+        return dataclasses.replace(pcfg, store="mse")
+    return pcfg
+
+
 class PathResult(NamedTuple):
     """Per-lambda outputs of a path solve (leading axis = lambda)."""
 
@@ -104,6 +132,7 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
     rho0 = lambdas[0] / 5.0
     state0 = initial_state(ops, problem, rho0) if init_state is None else init_state
 
+    pcfg = _effective_store(ops, problem, lambdas, pcfg)
     store_theta = pcfg.store == "fitted"
 
     def step(state: ADMMState, lam):
@@ -198,6 +227,7 @@ def solve_path_batch(ops: Operators, problems: Problem, lambdas: jax.Array,
     rho0 = jnp.broadcast_to(lambdas[0] / 5.0, (B,))
     state0 = jax.vmap(
         lambda pr, r: initial_state(ops, pr, r))(problems, rho0)
+    pcfg = _effective_store(ops, problems, lambdas, pcfg, batch=B)
     store_theta = pcfg.store == "fitted"
     gather_b = jax.vmap(gather_fitted)
 

@@ -105,6 +105,41 @@ def admm_golden(flat_idx, y, m, deltas, lam, rho0=None, theta0=None,
     return dict(theta=theta, u=u, rho=rho, counter=counter, O=O, D=D)
 
 
+def admm_golden_py(flat_idx, y, m, deltas, lam, theta0=None, tol=1e-3,
+                   max_iters=5000, include_full_mixed=False):
+    """Reference *Python prototype* ADMM semantics (code/solvers.py:15-78):
+    fixed rho = lambda, u0 = 1/lambda fill, elementwise |theta - thetaold|
+    <= tol stopping, one LU factorization (rho never changes).  The
+    prototype's create_D drops the all-ones block when deltas are supplied
+    (code/utils.py:145), hence include_full_mixed=False by default."""
+    ntheta = int(np.prod(m))
+    O = build_O(flat_idx, ntheta)
+    D = build_D(m, deltas, include_full_mixed)
+    rows_d = D.shape[0]
+    oty = O.T @ np.asarray(y, float)
+    rho = float(lam)
+    lu = spla.splu(((O.T @ O) + rho * (D.T @ D)).tocsc())
+
+    theta = (np.full(ntheta, np.mean(y)) if theta0 is None
+             else np.asarray(theta0, float).copy())
+    alpha = D @ theta
+    u = np.full(rows_d, 1.0 / float(lam))
+    thetaold = theta - 1.0
+
+    counter = 0
+    while np.any(np.abs(theta - thetaold) > tol):
+        thetaold = theta
+        b = oty + rho * (D.T @ (alpha + u))
+        theta = lu.solve(b)
+        d_theta = D @ theta
+        alpha = soft(d_theta - u, lam / rho)
+        u = u + alpha - d_theta
+        counter += 1
+        if counter > max_iters:
+            break
+    return dict(theta=theta, u=u, rho=rho, counter=counter, O=O, D=D)
+
+
 def objective(flat_idx, y, m, deltas, theta, lam, include_full_mixed=True):
     ntheta = int(np.prod(m))
     O = build_O(flat_idx, ntheta)

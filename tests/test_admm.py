@@ -72,6 +72,43 @@ def test_admm_matches_golden_objective():
     assert int(state.counter) < cfg.max_iters
 
 
+def test_reference_python_variant_matches_golden():
+    """The reference *Python prototype* solver semantics
+    (code/solvers.py:15-78): fixed rho = lambda, u0 = 1/lambda, elementwise
+    |theta - theta_old| <= tol stopping, no all-ones D block.  Selectable
+    via SolverConfig(stop_rule="theta_inf", adapt_rho=False, ...)."""
+    data, y, _, spec = make_2d_problem(n=300, m=(5, 5))
+    cfg = SolverConfig(stop_rule="theta_inf", adapt_rho=False, tol=1e-3,
+                       include_full_mixed=False, max_iters=5000,
+                       cg_tol=1e-8, cg_max_iters=400)
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(data, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    flat_idx = np.asarray(problem.flat_idx)
+    deltas = np.asarray(spec.deltas)
+
+    lam = 0.05 * golden.lam_max_golden(flat_idx, y, spec.m, deltas,
+                                       include_full_mixed=False)
+    state = initial_state(ops, problem, rho0=jnp.asarray(lam),
+                          u_fill=1.0 / lam)
+    state = admm_solve(ops, problem, jnp.asarray(lam), state, cfg)
+    ours = np.asarray(state.theta).reshape(-1)
+
+    gold = golden.admm_golden_py(flat_idx, y, spec.m, deltas, lam)
+    obj_ours = golden.objective(flat_idx, y, spec.m, deltas, ours, lam,
+                                include_full_mixed=False)
+    obj_gold = golden.objective(flat_idx, y, spec.m, deltas, gold["theta"],
+                                lam, include_full_mixed=False)
+    assert obj_ours <= obj_gold * (1 + 5e-3) + 1e-6
+    assert np.abs(ours - gold["theta"]).max() < 0.05 * max(
+        1.0, np.abs(gold["theta"]).max())
+    # Same stopping rule => comparable iteration counts (f32 CG vs exact
+    # float64 LU makes them near, not exact).
+    assert abs(int(state.counter) - gold["counter"]) <= max(
+        5, int(0.2 * gold["counter"]))
+    assert int(state.counter) < cfg.max_iters
+
+
 @pytest.mark.parametrize("x_solver", ["jacobi_pcg", "cg"])
 def test_x_solver_variants_agree(x_solver):
     data, y, _, spec = make_2d_problem(n=200, m=(5, 4))

@@ -136,3 +136,55 @@ def test_ftrue_argument():
     # path MSEs recorded vs ftrue
     assert len(model.models) == 8
     assert all(np.isfinite(m["mse"]) for m in model.models)
+
+
+def test_mvtv_3d_smoke():
+    """End-to-end p=3 fit + predict, mirroring the reference dev script's
+    p in {1,2,3} smoke runs (rcpp-code/test_mbs_cpp2r.R:51-56)."""
+    rng = np.random.RandomState(117)
+    n = 60
+    x = rng.uniform(size=(n, 3))
+    y = rng.uniform(size=n)
+    model = mvtv(x, y, m=(3, 3, 3), n_lambda=8, folds=5)
+    assert model.m == (3, 3, 3)
+    assert model.theta_hat.shape == (27,)
+    assert model.mesh.shape == (27, 3)
+    assert model.fitted.shape == (n,)
+    assert np.all(np.isfinite(model.fitted))
+    assert model.cv_mses.shape == (8,)
+    preds = model.predict(rng.uniform(size=(10, 3)))
+    assert preds.shape == (10,)
+    assert np.all(np.isfinite(preds))
+
+
+def test_path_store_auto_degrades(caplog):
+    """store='fitted' silently blowing up HBM at scale is auto-degraded to
+    'mse' with a logged notice (solver/path.py::_effective_store)."""
+    import jax.numpy as jnp
+    from multivartv_tpu.config import PathConfig, SolverConfig
+    from multivartv_tpu.solver import path as path_lib
+    from multivartv_tpu.solver.problem import build_operators, build_problem
+    from multivartv_tpu import mesh as mesh_lib
+
+    x, y = _example_data()
+    spec = mesh_lib.make_mesh_spec(jnp.asarray(x), (3, 3))
+    cfg = SolverConfig(max_iters=5)
+    ops = build_operators(spec.m, spec.deltas, cfg)
+    problem = build_problem(spec, jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    lambdas = jnp.asarray([0.5, 0.1], jnp.float32)
+    old_budget = path_lib.STORE_BUDGET_ELEMS
+    try:
+        path_lib.STORE_BUDGET_ELEMS = 10   # force the degrade
+        import logging
+        with caplog.at_level(logging.WARNING, logger="multivartv_tpu"):
+            res = path_lib.solve_path(ops, problem, lambdas, cfg,
+                                      PathConfig(store="fitted"))
+    finally:
+        path_lib.STORE_BUDGET_ELEMS = old_budget
+    assert res.thetas is None and res.fitted is None
+    assert any("auto-degrading" in r.message for r in caplog.records)
+    # Under the real budget the tiny path stores as asked.
+    res2 = path_lib.solve_path(ops, problem, lambdas, cfg,
+                               PathConfig(store="fitted"))
+    assert res2.thetas is not None

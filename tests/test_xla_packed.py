@@ -54,7 +54,11 @@ def test_packed_solve_matches_reference_path(m, deltas, spectral,
     out = admm.admm_solve(ops, problem, lam, s0, cfg)
     obj = _objective(ops, problem, out.theta, float(lam))
 
-    ref_cfg = SolverConfig(chunk_iters=1)
+    # The reference arm differs IN CONFIG (xla_packed=False), not only via
+    # the FORCE_XLA_PACKED module global read at trace time — if these
+    # solves are ever wrapped in a jit keyed on (ops, cfg), the two arms
+    # still trace distinct paths and the parity assertion stays meaningful.
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
         ref_ops = build_operators(m, deltas, ref_cfg, jnp.float32)
