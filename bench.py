@@ -319,6 +319,18 @@ def main():
             "batched_b5",
             lambda: round(measure_batched_iters_per_s(cfg, B=5)[0], 1))
 
+        def _sharded_cfg():
+            # The sharded-regime program (no Pallas, distributed-DCT PCG
+            # config) on one chip: the per-chip cost floor of
+            # mvtv_sharded's solve loop — scaling efficiency on N chips =
+            # this number held per chip as collectives overlap (the
+            # 8-device dryrun separately proves the collective program).
+            from multivartv_tpu.parallel.fit import _sharded_solver_config
+            return round(
+                measure_tpu_iters_per_s(_sharded_solver_config(cfg))[0], 1)
+        extras["sharded_config_iters_per_s_512"] = guarded(
+            "sharded_config", _sharded_cfg)
+
         def _gap():
             gap, of, ox, itf, itx = measure_objective_gap(cfg)
             print(f"#   obj fused={of:.6g} ({itf} it) xla={ox:.6g} "

@@ -284,6 +284,139 @@ def idctn_packed(y: jax.Array, halves, mat_dtype=None) -> jax.Array:
     return y
 
 
+# -- Blocked (concat-free) packed transforms. ----------------------------
+#
+# dctn_packed/idctn_packed pay a full-array concatenate copy per axis per
+# transform — at 2048^2+ those copies, not the MXU matmuls, are the
+# measured wall (HBM-bandwidth-bound regime).  The blocked layout removes
+# them: an array is carried as a tuple of 2^p half-size blocks, indexed by
+# a bits integer b where bit j (big-endian over axes, like ops/diff
+# binaries) selects
+#
+#   natural layout:  0 = first half of axis j, 1 = SECOND half FLIPPED
+#   spectral layout: 0 = even frequencies of axis j, 1 = odd frequencies
+#
+# In this layout the DCT fold (s = top + flip(bottom), d = top - flip(
+# bottom)) is pure elementwise block arithmetic, each axis transform is a
+# pair of half-size MXU matmuls per block pair, and NO concatenate exists
+# anywhere: layout conversion (to_blocks/from_blocks, one copy each)
+# happens only at the x-update boundary, never inside the CG loop.
+# Elementwise ops (spectral weights, CG updates, counts multiply) apply
+# blockwise; dots are sums of blockwise dots (the layout is a reindexing
+# of the orthonormal-transform coefficients).
+
+def _bit(bits: int, j: int, p: int) -> int:
+    return (bits >> (p - 1 - j)) & 1
+
+
+def to_blocks(x: jax.Array, p: int) -> Tuple[jax.Array, ...]:
+    """Natural p-axis array -> 2^p natural-layout blocks (trailing p axes
+    halved; leading axes are batch).  One full-array copy."""
+    nb = x.ndim - p
+    blocks = [x]
+    for j in range(p):
+        ax = nb + j
+        new = []
+        for a in blocks:
+            h = a.shape[ax] // 2
+            assert 2 * h == a.shape[ax], (
+                f"to_blocks needs even axes, got {a.shape[ax]}")
+            new.append(jax.lax.slice_in_dim(a, 0, h, axis=ax))
+            new.append(jnp.flip(
+                jax.lax.slice_in_dim(a, h, 2 * h, axis=ax), axis=ax))
+        blocks = new
+    return tuple(blocks)
+
+
+def from_blocks(blocks: Tuple[jax.Array, ...], p: int) -> jax.Array:
+    """Inverse of to_blocks (one full-array copy)."""
+    blocks = list(blocks)
+    for j in reversed(range(p)):
+        ax = blocks[0].ndim - p + j
+        new = []
+        for i in range(0, len(blocks), 2):
+            top, botf = blocks[i], blocks[i + 1]
+            new.append(jnp.concatenate(
+                [top, jnp.flip(botf, axis=ax)], axis=ax))
+        blocks = new
+    return blocks[0]
+
+
+def blocked_spectrum(eigs: jax.Array) -> Tuple[jax.Array, ...]:
+    """Natural-frequency-order spectral array (shape m) -> blocked layout
+    (2^p blocks of shape m/2): per axis, bit 0 keeps even frequencies,
+    bit 1 odd.  Host-side one-time prep for spectral weights."""
+    p = eigs.ndim
+    blocks = [eigs]
+    for j in range(p):
+        new = []
+        for a in blocks:
+            idx_e = jnp.arange(0, a.shape[j], 2)
+            idx_o = jnp.arange(1, a.shape[j], 2)
+            new.append(jnp.take(a, idx_e, axis=j))
+            new.append(jnp.take(a, idx_o, axis=j))
+        blocks = new
+    return tuple(blocks)
+
+
+def dctn_blocked(blocks: Tuple[jax.Array, ...], halves,
+                 mat_dtype=None) -> Tuple[jax.Array, ...]:
+    """Natural-layout blocks -> spectral-layout blocks.  Cyclic axis
+    consumption (contract axis nb, append transformed axis last) exactly
+    like dctn_packed, but per block pair and with zero concatenates."""
+    p = len(halves)
+    nb = blocks[0].ndim - p
+    cur = list(blocks)
+    dtype = blocks[0].dtype
+    for j, (te, to) in enumerate(halves):
+        md = mat_dtype or te.dtype
+        tem, tom = te.astype(md), to.astype(md)
+        new = [None] * len(cur)
+        for b0 in range(len(cur)):
+            if _bit(b0, j, p):
+                continue
+            b1 = b0 | (1 << (p - 1 - j))
+            a0, a1 = cur[b0], cur[b1]
+            s = (a0 + a1).astype(md)
+            d = (a0 - a1).astype(md)
+            new[b0] = jax.lax.dot_general(
+                s, tem, (((nb,), (1,)), ((), ())),
+                preferred_element_type=dtype)
+            new[b1] = jax.lax.dot_general(
+                d, tom, (((nb,), (1,)), ((), ())),
+                preferred_element_type=dtype)
+        cur = new
+    return tuple(cur)
+
+
+def idctn_blocked(blocks: Tuple[jax.Array, ...], halves,
+                  mat_dtype=None) -> Tuple[jax.Array, ...]:
+    """Spectral-layout blocks -> natural-layout blocks (inverse of
+    dctn_blocked; same cyclic axis order, zero concatenates)."""
+    p = len(halves)
+    nb = blocks[0].ndim - p
+    cur = list(blocks)
+    dtype = blocks[0].dtype
+    for j, (te, to) in enumerate(halves):
+        md = mat_dtype or te.dtype
+        tem, tom = te.astype(md), to.astype(md)
+        new = [None] * len(cur)
+        for b0 in range(len(cur)):
+            if _bit(b0, j, p):
+                continue
+            b1 = b0 | (1 << (p - 1 - j))
+            a = jax.lax.dot_general(
+                cur[b0].astype(md), tem, (((nb,), (0,)), ((), ())),
+                preferred_element_type=dtype)
+            bb = jax.lax.dot_general(
+                cur[b1].astype(md), tom, (((nb,), (0,)), ((), ())),
+                preferred_element_type=dtype)
+            new[b0] = a + bb      # top half
+            new[b1] = a - bb      # bottom half, flipped (natural layout)
+        cur = new
+    return tuple(cur)
+
+
 def neumann_eigenvalues(n: int, dtype=jnp.float32) -> jax.Array:
     """Eigenvalues of the 1-D Neumann Laplacian Delta'Delta of size n."""
     k = jnp.arange(n, dtype=dtype)

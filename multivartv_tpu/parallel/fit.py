@@ -10,9 +10,13 @@ every lattice-shaped operand sharded over spatial mesh axes.
 Design (idiomatic JAX SPMD): the solver is pure jnp on lattice arrays, so
 under jit the XLA SPMD partitioner inserts every collective — halo
 exchanges for the shifted-slice difference stencils, psums for CG dot
-products and residual norms — from NamedSharding annotations alone.  The
-x-update uses the Jacobi-preconditioned CG (fully local preconditioner);
-whole-lattice Pallas kernels are disabled (they would force a gather).
+products and residual norms, and the distributed per-axis matmuls of the
+DCT preconditioner (replicated transform matrices contracted against the
+sharded lattice axis) — from NamedSharding annotations alone.  The
+x-update therefore keeps the same DCT-preconditioned CG as the
+single-chip path; jacobi_pcg remains selectable as a collective-free
+preconditioner.  Whole-lattice Pallas kernels are disabled (they would
+force a gather).
 The manual shard_map + ppermute implementation of the same stencils lives
 in parallel/halo.py; collective-level parity between the two is tested.
 
@@ -69,16 +73,34 @@ def default_lattice_mesh(p: int, devices=None,
 
 
 def _sharded_solver_config(cfg: SolverConfig) -> SolverConfig:
-    """Adapt a SolverConfig for lattice sharding: the x-update must be
-    local+psum (jacobi_pcg), whole-lattice Pallas kernels off."""
+    """Adapt a SolverConfig for lattice sharding, LOUDLY.
+
+    Whole-lattice Pallas kernels are turned off (they would force a
+    gather of the sharded lattice into one core's VMEM).  The x-update
+    preconditioner is KEPT: dct_pcg's per-axis transforms are plain
+    dot_generals against replicated (half-)matrices, which the XLA SPMD
+    partitioner turns into distributed matmuls (collectives over the
+    sharded axis) — the distributed-DCT preconditioner.  jacobi_pcg
+    remains selectable for a fully collective-free preconditioner; pass
+    SolverConfig(x_solver="jacobi_pcg", cg_fixed_iters=10) explicitly.
+
+    Every field this function changes is logged at WARNING and visible on
+    the returned model's solver_config — no silent rewrites."""
     changes = {}
     if cfg.use_pallas:
         changes["use_pallas"] = False
-    if cfg.x_solver in ("dct_pcg", "dct_direct"):
-        # The DCT transform is a dense all-to-all along each lattice axis;
-        # Jacobi keeps the preconditioner shard-local (SURVEY 2a).
-        changes["x_solver"] = "jacobi_pcg"
-    return dataclasses.replace(cfg, **changes) if changes else cfg
+    if cfg.x_solver == "jacobi_pcg" and cfg.cg_fixed_iters is None:
+        # Unbounded tol-driven CG under Jacobi can cost 30x the DCT path
+        # per iteration (cg_max_iters=100); bound it.
+        changes["cg_fixed_iters"] = 10
+    if changes:
+        from multivartv_tpu.utils.logging import get_logger
+        get_logger().warning(
+            "mvtv_sharded adapted SolverConfig for lattice sharding: %s "
+            "(original: use_pallas=%s, x_solver=%s, cg_fixed_iters=%s)",
+            changes, cfg.use_pallas, cfg.x_solver, cfg.cg_fixed_iters)
+        return dataclasses.replace(cfg, **changes)
+    return cfg
 
 
 def shard_operators(ops: Operators, mesh: Mesh,
@@ -106,6 +128,11 @@ def shard_operators(ops: Operators, mesh: Mesh,
         dct_halves=(None if ops.dct_halves is None else tuple(
             (place(a), place(b)) for a, b in ops.dct_halves)),
         gram_eigs_packed=place(ops.gram_eigs_packed),
+        dct_halves_lp=(None if ops.dct_halves_lp is None else tuple(
+            (place(a), place(b)) for a, b in ops.dct_halves_lp)),
+        gram_eigs_blocked=(None if ops.gram_eigs_blocked is None else
+                           tuple(place(e) for e in ops.gram_eigs_blocked)),
+        deltas=place(ops.deltas),
     )
 
 

@@ -15,6 +15,7 @@ updates are fixed-point at the solution within CG tolerance).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -130,6 +131,18 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and problem.counts.ndim == len(ops.m)
     )
 
+    # Loop-invariant blocked layout of counts for the large-lattice
+    # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
+    # per iteration inside the while_loop body.
+    from multivartv_tpu.ops import dct as dct_ops
+    from multivartv_tpu.solver import xupdate as xup
+    counts_blocked = None
+    if (cfg.x_solver == "dct_pcg" and cfg.spectral_cg
+            and ops.gram_eigs_blocked is not None
+            and xup._xla_packed_applies(ops, cfg)
+            and problem.counts.ndim == len(ops.m)):
+        counts_blocked = dct_ops.to_blocks(problem.counts, len(ops.m))
+
     def body(s: ADMMState) -> ADMMState:
         # x-update: b = O'y + rho D'(alpha + u_scale * u)
         if use_pallas:
@@ -139,7 +152,8 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
             b = problem.oty + s.rho * ops.apply_Dt(au)
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
-                               cfg, use_pallas=use_pallas)
+                               cfg, use_pallas=use_pallas,
+                               counts_blocked=counts_blocked)
         if use_pallas:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.
@@ -366,37 +380,73 @@ def fused_batched_available(ops: Operators, problem: Problem,
                             cfg: SolverConfig) -> bool:
     """Whether the grid=(B,) one-kernel ADMM path applies to this problem
     batch (counts may be per-element (B, *m) — CV folds — or shared (*m) —
-    lambda sweeps)."""
+    lambda sweeps).
+
+    Unaligned/odd lattices (the reference-default m = floor(sqrt(N)) per
+    axis is almost never DMA-aligned) still qualify via zero-count padding
+    to the next (8, 128)-aligned size (solver/pad.py) — admm_solve_batched
+    pads/crops transparently and objective parity is exact."""
     from multivartv_tpu.ops import pallas_kernels as pk
+    from multivartv_tpu.solver import pad as pad_lib
     p = len(ops.m)
-    return (
+    if not (
         cfg.use_pallas
         and cfg.x_solver == "dct_pcg"
         and cfg.stop_rule == "boyd"   # in-kernel stats are Boyd norms
-        and ops.dct_halves is not None
-        and ops.gram_eigs_packed is not None
-        and pk.batched_supported(ops.m, ops.binaries)
         and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
         and problem.counts.ndim in (p, p + 1)
+    ):
+        return False
+    if not pad_lib.needs_padding(ops.m):
+        return (
+            ops.dct_halves is not None
+            and ops.gram_eigs_packed is not None
+            and pk.batched_supported(ops.m, ops.binaries)
+        )
+    # Padded route: the aligned operator set is rebuilt from deltas.
+    return (
+        ops.deltas is not None
+        and pk.batched_supported(pad_lib.pad_target_m(ops.m), ops.binaries)
     )
+
+
+def _pad_for_batched(ops: Operators, problem: Problem, state: ADMMState,
+                     cfg: SolverConfig):
+    """(ops', problem', state', crop, stop_consts) — identity when the
+    lattice is already aligned."""
+    from multivartv_tpu.solver import pad as pad_lib
+    if not pad_lib.needs_padding(ops.m):
+        return ops, problem, state, (lambda s: s), (None, None)
+    ops_p = pad_lib.padded_operators(ops, cfg)
+    problem_p = pad_lib.pad_problem(problem, ops.m, ops_p.m)
+    state_p = pad_lib.pad_state(state, ops.m, ops_p.m)
+    crop = functools.partial(pad_lib.crop_state, ops=ops)
+    return ops_p, problem_p, state_p, crop, (ops.ntheta, ops.rows_d)
 
 
 def admm_fused_chunk_batched(ops: Operators, problem: Problem,
                              lams: jax.Array, state: ADMMState,
                              cfg: SolverConfig, k_iters: int,
-                             active: jax.Array | None = None) -> ADMMState:
+                             active: jax.Array | None = None,
+                             stop_ntheta: int | None = None,
+                             stop_rows: int | None = None) -> ADMMState:
     """k_iters ADMM iterations on a BATCH of B problems in one kernel.
 
     state: batched ADMMState (leading axis B on every leaf).  lams: (B,).
     active: (B,) bool — elements with active=False are frozen (state rows
-    pass through untouched; scalars/norms keep their previous values)."""
+    pass through untouched; scalars/norms keep their previous values).
+    stop_ntheta/stop_rows: override the Boyd threshold size constants
+    (alignment-padded solves use the TRUE lattice sizes, solver/pad.py)."""
     from multivartv_tpu.ops import pallas_kernels as pk
     dtype = problem.oty.dtype
     B = int(state.theta.shape[0])
     lams = jnp.broadcast_to(jnp.asarray(lams, dtype), (B,))
     tol = jnp.asarray(cfg.tol, dtype)
-    sqrt_ntheta = jnp.asarray(math.sqrt(ops.ntheta), dtype)
-    sqrt_rowsd = jnp.asarray(math.sqrt(ops.rows_d), dtype)
+    sqrt_ntheta = jnp.asarray(
+        math.sqrt(stop_ntheta if stop_ntheta is not None else ops.ntheta),
+        dtype)
+    sqrt_rowsd = jnp.asarray(
+        math.sqrt(stop_rows if stop_rows is not None else ops.rows_d), dtype)
     p = len(ops.m)
     if problem.counts.ndim == p:
         cbars = jnp.broadcast_to(jnp.sum(problem.counts) / ops.ntheta, (B,))
@@ -465,8 +515,14 @@ def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
     Semantics match jax.vmap(admm_solve): each element freezes the moment
     its own predicate clears (in-kernel skip via the activity mask), the
     loop ends when no element is active.  The cap is exact per element
-    (chunked phase stops chunk-1 short; a per-iteration tail finishes)."""
+    (chunked phase stops chunk-1 short; a per-iteration tail finishes).
+
+    Unaligned lattices are zero-count-padded to DMA alignment around the
+    whole loop (solver/pad.py): one pad before, one crop after, exact
+    objective parity."""
     chunk = resolve_chunk(cfg)
+    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_batched(
+        ops, problem, state, cfg)
 
     def make_loop(k, maxc):
         def cond(s):
@@ -475,14 +531,15 @@ def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
         def body(s):
             act = _not_converged_vec(s, maxc)
             return admm_fused_chunk_batched(ops, problem, lams, s, cfg, k,
-                                            active=act)
+                                            active=act, stop_ntheta=s_nt,
+                                            stop_rows=s_rd)
         return cond, body
 
     if chunk > 1:
         cond, body = make_loop(chunk, cfg.max_iters - chunk + 1)
         state = jax.lax.while_loop(cond, body, state)
     cond, body = make_loop(1, cfg.max_iters)
-    return jax.lax.while_loop(cond, body, state)
+    return crop(jax.lax.while_loop(cond, body, state))
 
 
 def admm_fixed_iterations_batched(ops: Operators, problem: Problem,
@@ -493,15 +550,19 @@ def admm_fixed_iterations_batched(ops: Operators, problem: Problem,
     chunked at the production cadence like admm_fixed_iterations."""
     chunk = min(resolve_chunk(cfg), n_iters)
     full, rem = divmod(n_iters, chunk)
+    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_batched(
+        ops, problem, state, cfg)
     state = jax.lax.fori_loop(
         0, full,
         lambda _, s: admm_fused_chunk_batched(ops, problem, lams, s, cfg,
-                                              chunk),
+                                              chunk, stop_ntheta=s_nt,
+                                              stop_rows=s_rd),
         state)
     if rem:
         state = admm_fused_chunk_batched(ops, problem, lams, state, cfg,
-                                         rem)
-    return state
+                                         rem, stop_ntheta=s_nt,
+                                         stop_rows=s_rd)
+    return crop(state)
 
 
 def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,

@@ -1,0 +1,111 @@
+"""Zero-count lattice padding to DMA alignment for the batched fused kernel.
+
+The grid=(B,) fused ADMM kernel (ops/pallas_kernels.py kernel 6) needs
+m0 % 8 == 0 and m1 % 128 == 0 (HBM->VMEM DMA slice alignment).  The
+reference's default mesh m = floor(sqrt(N)) per axis (MultivarTV.R:44-48,
+api.py::_default_m) is almost never aligned (31x31, 100x100, ...), so
+without this module the flagship batched kernel would only ever serve
+hand-aligned benchmarks while real mvtv(folds=5) calls fall back to the
+vmapped jnp path.
+
+The fix is the package's own core trick (ops/diff.py padded blocks) applied
+one level up: EXTEND THE LATTICE with zero-count knots to the next aligned
+size and solve the padded problem.
+
+Why this is exact (objective parity, not approximation):
+  * the fidelity term only touches knots with samples — padded knots have
+    counts = 0 and contribute nothing;
+  * the TV penalty of any extension is >= 0, with equality iff the pad
+    region constantly continues the edge values (every forward/mixed diff
+    crossing into or inside the pad region must vanish);
+  * therefore the padded problem's optimum restricted to the real region
+    IS the original optimum, and its pad region is the (unique) replicated
+    continuation.
+Iterates differ transiently (the pad region has its own ADMM dynamics),
+so parity is asserted on converged objectives, exactly like the
+matched-objective gate vs the reference (solvers.cpp:110-126).
+
+Boyd stopping uses the TRUE (unpadded) sqrt(ntheta)/sqrt(rows_d) constants
+— admm_solve_batched passes them through — so the convergence semantics
+match the unpadded solve up to the (near-zero) pad-region residual mass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.solver.problem import Operators, Problem
+
+# Kernel-6 DMA alignment (ops/pallas_kernels.py::batched_supported).
+ALIGN = (8, 128)
+
+
+def pad_target_m(m: Tuple[int, ...]) -> Tuple[int, ...]:
+    """Next (8, 128)-aligned lattice dims (p == 2 only; other p returned
+    unchanged — the batched kernel is 2-D)."""
+    if len(m) != 2:
+        return tuple(m)
+    return tuple(-(-int(v) // a) * a for v, a in zip(m, ALIGN))
+
+
+def needs_padding(m: Tuple[int, ...]) -> bool:
+    return pad_target_m(m) != tuple(m)
+
+
+def padded_operators(ops: Operators, cfg: SolverConfig) -> Operators:
+    """Operators for the aligned lattice (same deltas, same block set)."""
+    from multivartv_tpu.solver.problem import build_operators
+    if ops.deltas is None:
+        raise ValueError("padded_operators needs Operators.deltas "
+                         "(use build_operators())")
+    dtype = ops.gram_eigs.dtype if ops.gram_eigs is not None else jnp.float32
+    return build_operators(pad_target_m(ops.m), ops.deltas, cfg, dtype)
+
+
+def _pad_widths(x: jax.Array, m, m_pad):
+    lead = x.ndim - len(m)
+    return [(0, 0)] * lead + [(0, int(mp) - int(mv))
+                              for mv, mp in zip(m, m_pad)]
+
+
+def pad_problem(problem: Problem, m, m_pad) -> Problem:
+    """counts/oty extended with zeros (no samples land on pad knots)."""
+    return dataclasses.replace(
+        problem,
+        counts=jnp.pad(problem.counts, _pad_widths(problem.counts, m, m_pad)),
+        oty=jnp.pad(problem.oty, _pad_widths(problem.oty, m, m_pad)),
+    )
+
+
+def pad_state(state, m, m_pad):
+    """ADMM state onto the padded lattice: theta continues its edge values
+    (the optimal extension), dual/aux blocks extend with zeros (which
+    satisfies the padded-block edge-zero convention of ops/diff.py)."""
+    theta = jnp.pad(state.theta, _pad_widths(state.theta, m, m_pad),
+                    mode="edge")
+    alpha = tuple(jnp.pad(a, _pad_widths(a, m, m_pad)) for a in state.alpha)
+    u = tuple(jnp.pad(w, _pad_widths(w, m, m_pad)) for w in state.u)
+    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u)
+
+
+def crop_state(state, ops: Operators):
+    """Back to the real lattice: slice the leading region and re-zero the
+    trailing edge of every block (the real-lattice padded-block
+    convention; the padded solve left valid data in those rows)."""
+    m = ops.m
+    sel = (Ellipsis,) + tuple(slice(0, int(v)) for v in m)
+    theta = state.theta[sel]
+    dtype = theta.dtype
+    alpha = tuple(
+        a[sel] * diff_ops.edge_mask(m, b, dtype)
+        for a, b in zip(state.alpha, ops.binaries))
+    u = tuple(
+        w[sel] * diff_ops.edge_mask(m, b, dtype)
+        for w, b in zip(state.u, ops.binaries))
+    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u)

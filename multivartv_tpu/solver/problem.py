@@ -47,6 +47,15 @@ class Operators:
     # order — HALF the MXU FLOPs per transform (see ops/dct.py).
     dct_halves: Optional[Tuple[Tuple[jax.Array, jax.Array], ...]] = None
     gram_eigs_packed: Optional[jax.Array] = None
+    # Blocked (concat-free) large-lattice objects: bfloat16 copies of the
+    # half matrices (cast once here, not per transform inside the ADMM
+    # loop) and the Gram eigenvalues in blocked even/odd layout
+    # (ops/dct.py blocked section).
+    dct_halves_lp: Optional[Tuple[Tuple[jax.Array, jax.Array], ...]] = None
+    gram_eigs_blocked: Optional[Tuple[jax.Array, ...]] = None
+    # TV cell sizes the operators were built with — kept so derived
+    # (padded) operator sets can be rebuilt (solver/pad.py).
+    deltas: Optional[jax.Array] = None
 
     @property
     def ntheta(self) -> int:
@@ -113,10 +122,16 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     # outright (rcpp-code/README.md:9 flags memory as its wall).
     dct_halves = None
     gram_eigs_packed = None
+    dct_halves_lp = None
+    gram_eigs_blocked = None
     if (need_dct and max(m) <= 8192
             and all(v % 2 == 0 for v in m)):
         dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
         gram_eigs_packed = dct_ops.pack_spectrum(gram_eigs)
+        dct_halves_lp = tuple(
+            (te.astype(jnp.bfloat16), to.astype(jnp.bfloat16))
+            for te, to in dct_halves)
+        gram_eigs_blocked = dct_ops.blocked_spectrum(gram_eigs)
     return Operators(
         binaries=binaries,
         m=m,
@@ -126,6 +141,9 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         dct_mats=dct_mats,
         dct_halves=dct_halves,
         gram_eigs_packed=gram_eigs_packed,
+        dct_halves_lp=dct_halves_lp,
+        gram_eigs_blocked=gram_eigs_blocked,
+        deltas=jnp.asarray(deltas, dtype),
     )
 
 

@@ -52,10 +52,65 @@ def _xla_packed_applies(ops: Operators, cfg: SolverConfig) -> bool:
     )
 
 
+def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
+                         cbar, n_steps: int, counts_blocked=None):
+    """Fixed-step spectral-correction CG in the blocked layout.
+
+    See the call site for the numerics rationale; this helper is the
+    mechanical part: tuples of 2^p half-size blocks, bf16 MXU transforms
+    (ops.dct_halves_lp), f32 weights and CG vectors."""
+    from multivartv_tpu.solver.cg import _poison_if_nonfinite
+
+    p_dims = len(ops.m)
+    halves = ops.dct_halves_lp or ops.dct_halves
+    eps = jnp.asarray(1e-30, b.dtype)
+
+    def bmap(f, *ts):
+        return tuple(f(*xs) for xs in zip(*ts))
+
+    def bdot(a, c):
+        return sum(jnp.sum(x * y) for x, y in zip(a, c))
+
+    w = bmap(lambda e: cbar + rho * e, ops.gram_eigs_blocked)
+    rl = bmap(lambda e: rho * e, ops.gram_eigs_blocked)
+    counts_b = (counts_blocked if counts_blocked is not None
+                else dct_ops.to_blocks(counts, p_dims))
+
+    def fwd(v):
+        return dct_ops.dctn_blocked(v, halves)
+
+    def inv(v):
+        return dct_ops.idctn_blocked(v, halves)
+
+    rh = fwd(dct_ops.to_blocks(b - matvec(x0), p_dims))
+    zh = bmap(lambda r, ww: r / ww, rh, w)
+    p = zh
+    rz = bdot(rh, zh)
+    xh = bmap(jnp.zeros_like, rh)
+    for _ in range(n_steps):
+        ap = bmap(lambda f, l, pp: f + l * pp,
+                  fwd(bmap(lambda c, v: c * v, counts_b, inv(p))), rl, p)
+        alpha_cg = rz / jnp.maximum(bdot(p, ap), eps)
+        xh = bmap(lambda x_, pp: x_ + alpha_cg * pp, xh, p)
+        rh = bmap(lambda r, a: r - alpha_cg * a, rh, ap)
+        zh = bmap(lambda r, ww: r / ww, rh, w)
+        rz_new = bdot(rh, zh)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = bmap(lambda z, pp: z + beta * pp, zh, p)
+        rz = rz_new
+    x = x0 + dct_ops.from_blocks(inv(xh), p_dims)
+    return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
+
+
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             b: jax.Array, rho: jax.Array, x0: jax.Array,
-            cfg: SolverConfig, use_pallas: bool = False) -> Tuple[jax.Array, jax.Array]:
-    """Returns (theta, cg_iters)."""
+            cfg: SolverConfig, use_pallas: bool = False,
+            counts_blocked=None) -> Tuple[jax.Array, jax.Array]:
+    """Returns (theta, cg_iters).
+
+    counts_blocked: optional precomputed blocked layout of counts (loop-
+    invariant — callers running solve_x inside the ADMM while_loop hoist
+    the conversion out of the body instead of paying it per iteration)."""
 
     def matvec(v):
         return counts * v + rho * ops.apply_gram(v)
@@ -124,7 +179,7 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         def inv(v):
             return dct_ops.idctn_packed(v, halves, mat_dtype=md)
 
-        if cfg.spectral_cg:
+        if cfg.spectral_cg and ops.gram_eigs_blocked is not None:
             # CG in the SPECTRAL domain, as a CORRECTION solve: A-hat =
             # F diag(counts) F' + rho Lambda, so the Gram matvec is a
             # diagonal multiply (no stencil passes) and the preconditioner
@@ -138,27 +193,16 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # Boyd residuals keep their f32 floor (iterative-refinement
             # structure).  Dots are preserved by the orthonormal
             # transform, so CG scalars live on spectral vectors directly.
-            from multivartv_tpu.solver.cg import _poison_if_nonfinite
-            eps = jnp.asarray(1e-30, b.dtype)
-            rl = rho * eigs_packed
-            rh = fwd(b - matvec(x0))
-            zh = rh / w
-            p = zh
-            rz = jnp.sum(rh * zh)
-            xh = jnp.zeros_like(rh)
-            for _ in range(n_steps):
-                ap = fwd(counts * inv(p)) + rl * p
-                alpha_cg = rz / jnp.maximum(jnp.sum(p * ap), eps)
-                xh = xh + alpha_cg * p
-                rh = rh - alpha_cg * ap
-                zh = rh / w
-                rz_new = jnp.sum(rh * zh)
-                beta = rz_new / jnp.maximum(rz, eps)
-                p = zh + beta * p
-                rz = rz_new
-            x = x0 + inv(xh)
-            return (_poison_if_nonfinite(x, rz),
-                    jnp.asarray(n_steps, jnp.int32))
+            #
+            # The whole loop runs in the BLOCKED layout (ops/dct.py): every
+            # vector is a tuple of 2^p half-size blocks, the folds are
+            # elementwise block arithmetic and NO concatenate copies exist
+            # inside the loop — the former per-axis concats were the
+            # measured HBM wall at 2048^2/4096^2.  Layout conversion is
+            # one copy each way at the solve boundary.
+            return _spectral_cg_blocked(ops, counts, b, rho, x0, matvec,
+                                        cbar, n_steps,
+                                        counts_blocked=counts_blocked)
 
         def matvec_dot(v):
             av = matvec(v)

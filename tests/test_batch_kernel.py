@@ -196,3 +196,81 @@ def test_solve_path_batch_fused_matches_vmap(setup, force_fused):
         # Counter parity within the chunk cadence per lambda.
         for i in range(4):
             assert int(res_f.iters[b, i]) <= int(res_v.iters[b, i]) + 4
+
+
+# ---------------------------------------------------------------------------
+# Alignment padding (solver/pad.py): unaligned lattices reach kernel 6.
+# ---------------------------------------------------------------------------
+
+MU = (13, 100)   # reference-default-style mesh; pads to (16, 128)
+
+
+@pytest.fixture(scope="module")
+def setup_unaligned():
+    rng = np.random.RandomState(7)
+    deltas = jnp.asarray([0.3, 0.8], jnp.float32)
+    cfg = SolverConfig(cg_fixed_iters=3)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    counts = jnp.asarray(rng.poisson(3, (B,) + MU).astype(np.float32))
+    oty = jnp.asarray(rng.randn(B, *MU).astype(np.float32)) * counts
+    problems = Problem(
+        counts=counts, oty=oty,
+        ybar=jnp.sum(oty, axis=(1, 2)) / jnp.sum(counts, axis=(1, 2)),
+        flat_idx=jnp.zeros((B, 1), jnp.int32),
+        y=jnp.zeros((B, 1), jnp.float32))
+    lams = jnp.asarray([0.05, 0.1, 0.2], jnp.float32)
+    return ops, problems, lams, cfg
+
+
+def _pseudo_obj(ops, counts, oty, theta, lam):
+    from multivartv_tpu.ops import diff as diff_ops
+    fid = 0.5 * (jnp.sum(counts * jnp.square(theta))
+                 - 2.0 * jnp.sum(oty * theta))
+    pen = diff_ops.blocks_abs_sum(ops.apply_D(theta))
+    return float(fid + lam * pen)
+
+
+def test_unaligned_gate_via_padding(setup_unaligned):
+    """Odd/unaligned meshes qualify for the fused batched path (the
+    reference-default m = floor(sqrt(N)) case, MultivarTV.R:44-48)."""
+    ops, problems, lams, cfg = setup_unaligned
+    from multivartv_tpu.solver import pad as pad_lib
+    assert pad_lib.pad_target_m(MU) == (16, 128)
+    assert not pk.batched_supported(MU, ops.binaries)
+    try:
+        admm.FORCE_FUSED_INTERPRET = True
+        assert admm.fused_batched_available(ops, problems, cfg)
+    finally:
+        admm.FORCE_FUSED_INTERPRET = False
+
+
+def test_padded_batched_solve_matches_vmapped_jnp(setup_unaligned,
+                                                  force_fused):
+    """Padded fused solve converges to the same objective as the unpadded
+    vmapped jnp solve (transient iterates differ: the pad region has its
+    own ADMM dynamics; the OPTIMUM is provably identical — solver/pad.py)."""
+    ops, problems, lams, cfg = setup_unaligned
+    s0 = _batched_state(ops, problems, lams)
+    out = admm.admm_solve_batched(ops, problems, lams, s0, cfg)
+    assert out.theta.shape == (B,) + MU
+
+    ref = jax.vmap(
+        lambda pr, lam, st: admm.admm_solve(ops, pr, lam, st, cfg,
+                                            batched=True)
+    )(problems, lams, s0)
+
+    for b in range(B):
+        obj_pad = _pseudo_obj(ops, problems.counts[b], problems.oty[b],
+                              out.theta[b], float(lams[b]))
+        obj_ref = _pseudo_obj(ops, problems.counts[b], problems.oty[b],
+                              ref.theta[b], float(lams[b]))
+        scale = max(abs(obj_ref), 1e-6)
+        assert abs(obj_pad - obj_ref) <= 2e-3 * scale, (b, obj_pad, obj_ref)
+        # Cropped blocks keep the real-lattice edge-zero convention.
+        from multivartv_tpu.ops import diff as diff_ops
+        for a, bits in zip(out.alpha, ops.binaries):
+            mask = np.broadcast_to(
+                np.asarray(diff_ops.edge_mask(MU, bits)), MU)
+            assert np.all(np.asarray(a[b])[mask == 0] == 0.0)
+    # Both converged within the cap.
+    assert np.all(np.asarray(out.counter) < cfg.max_iters)

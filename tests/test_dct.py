@@ -158,3 +158,54 @@ def test_packed_spectral_solve_matches_dense(rng):
         dct.dct2_packed(v, halves[0], halves[1]) / dct.pack_spectrum(w),
         halves[0], halves[1])
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestBlocked:
+    """Concat-free blocked transforms (ops/dct.py blocked section)."""
+
+    @pytest.mark.parametrize("m", [(8,), (8, 12), (4, 6, 8)])
+    def test_roundtrip_and_parity(self, m):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(*m), jnp.float32)
+        p = len(m)
+        halves = tuple(dct.dct_packed_halves(v, jnp.float32) for v in m)
+        blocks = dct.to_blocks(x, p)
+        assert len(blocks) == 2 ** p
+        # layout roundtrip
+        np.testing.assert_allclose(np.asarray(dct.from_blocks(blocks, p)),
+                                   np.asarray(x), rtol=0, atol=0)
+        # forward parity vs dense matmul DCT (blocked layout vs strided
+        # frequency slices)
+        mats = dct.dct_matrices(m, jnp.float32)
+        want = np.asarray(dct.dctn_mat(x, mats))
+        got = dct.dctn_blocked(blocks, halves)
+        for bits in range(2 ** p):
+            sel = tuple(
+                slice((bits >> (p - 1 - j)) & 1, None, 2) for j in range(p))
+            np.testing.assert_allclose(np.asarray(got[bits]), want[sel],
+                                       rtol=2e-5, atol=2e-5)
+        # inverse roundtrip through the blocked pair
+        back = dct.from_blocks(dct.idctn_blocked(got, halves), p)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_blocked_spectrum_matches_layout(self):
+        m = (6, 8)
+        eigs = jnp.asarray(np.random.RandomState(0).rand(*m), jnp.float32)
+        blocks = dct.blocked_spectrum(eigs)
+        for bits in range(4):
+            sel = tuple(slice((bits >> (1 - j)) & 1, None, 2)
+                        for j in range(2))
+            np.testing.assert_array_equal(np.asarray(blocks[bits]),
+                                          np.asarray(eigs)[sel])
+
+    def test_batched_blocked(self):
+        m = (8, 12)
+        halves = tuple(dct.dct_packed_halves(v, jnp.float32) for v in m)
+        x = jnp.asarray(np.random.RandomState(1).randn(3, *m), jnp.float32)
+        mats = dct.dct_matrices(m, jnp.float32)
+        got = dct.from_blocks(
+            dct.idctn_blocked(dct.dctn_blocked(dct.to_blocks(x, 2), halves),
+                              halves), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                                   rtol=2e-5, atol=2e-5)
