@@ -988,3 +988,284 @@ def batched_supported(m: Tuple[int, ...], binaries) -> bool:
     lattice_bytes = int(np.prod(m)) * 4
     mat_bytes = 2 * (m[0] * m[0] + m[1] * m[1])
     return lattice_bytes <= (1 << 20) and mat_bytes <= (2 << 20)
+
+
+# ---------------------------------------------------------------------------
+# Kernels 7/8: TILED dual stage + rhs for large 2-D lattices (2048^2+).
+#
+# Above the whole-lattice VMEM gate, the jnp stencil stages run each
+# roll/mask/reduce as separate HBM passes (measured 5.5 ms of the 17.4 ms
+# 4096^2 iteration).  These kernels stream row panels through VMEM with a
+# one-row halo: the dual kernel reads theta + 3 u panels and writes the 6
+# updated blocks plus ALL five Boyd reductions in one pass; the rhs kernel
+# reads the 6 blocks + oty and writes b.  Row panels are DMA'd manually
+# (pl.ds with dynamic start) because BlockSpecs cannot express the row
+# halo, with ping-pong double buffering (tile t+1 prefetches while tile t
+# computes); the first/last tiles take static-size branch copies and a
+# validity mask reproduces the padded-block convention (w[-1] == 0) at
+# the lattice edge.
+# ---------------------------------------------------------------------------
+
+def _tile_rows(m: Tuple[int, int]) -> int:
+    """Row-panel height: ~2 MB panels (the kernels keep ~18 live panel
+    temporaries plus double-buffered in/out panels in VMEM), multiple of
+    8, divides m0."""
+    target = max(8, min(512, ((2 << 20) // (int(m[1]) * 4)) // 8 * 8))
+    for t in range(target, 7, -8):
+        if m[0] % t == 0:
+            return t
+    return 8
+
+
+def tiled_supported(m: Tuple[int, ...], binaries) -> bool:
+    """p == 2, full C++ block set, DMA-aligned panels, and at least two
+    row panels (whole-lattice kernels serve smaller lattices)."""
+    if len(m) != 2 or len(binaries) != 3:
+        return False
+    if m[0] % 8 or m[1] % 128:
+        return False
+    return m[0] > _tile_rows(m)
+
+
+# Halo rows per panel side: 8 keeps every DMA row offset and size
+# sublane-aligned (the stencils only need 1; the extra rows are masked).
+HALO = 8
+
+
+def _halo_copies(tt, n_tiles, T, src, dst, sem):
+    """(predicate, async_copy) branch set loading tile tt's extended
+    panel — rows [tt*T - HALO, tt*T + T + HALO) clamped at the lattice
+    edge (edge halo rows keep stale scratch data; callers mask them).
+    pl.multiple_of: T is a multiple of 8 and HALO == 8, so every start is
+    8-aligned — the hint lets Mosaic prove the sublane tiling."""
+    H = HALO
+    lo = pl.multiple_of(tt * T - H, 8)
+    return [
+        (jnp.logical_and(tt > 0, tt < n_tiles - 1),
+         pltpu.make_async_copy(src.at[pl.ds(lo, T + 2 * H), :], dst, sem)),
+        (tt == 0,
+         pltpu.make_async_copy(src.at[pl.ds(0, T + H), :],
+                               dst.at[pl.ds(H, T + H), :], sem)),
+        (jnp.logical_and(tt == n_tiles - 1, tt > 0),
+         pltpu.make_async_copy(src.at[pl.ds(lo, T + H), :],
+                               dst.at[pl.ds(0, T + H), :], sem)),
+    ]
+
+
+def _halo_pingpong(t, n_tiles, T, ins, scr, sems):
+    """Double-buffered halo loads: start tile 0 at step 0, prefetch tile
+    t+1 into the other buffer, then wait for tile t's copies.  scr[i] has
+    a leading buffer axis of 2; sems has shape (2, len(ins)).  Returns
+    the current-buffer index (traced)."""
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    def issue(tt, buf, start):
+        for i, (r, s) in enumerate(zip(ins, scr)):
+            for pred, cp in _halo_copies(tt, n_tiles, T, r, s.at[buf],
+                                         sems.at[buf, i]):
+                @pl.when(pred)
+                def _(cp=cp):
+                    cp.start() if start else cp.wait()
+
+    @pl.when(t == 0)
+    def _():
+        issue(t, cur, start=True)          # t == 0 here
+
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        issue(t + 1, nxt, start=True)
+
+    issue(t, cur, start=False)             # wait for tile t
+    return cur
+
+
+def _tiled_dual_kernel(T, m0, m1, n_tiles,
+                       theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+                       a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
+                       stats_ref,
+                       theta_s, u0_s, u1_s, u2_s, sems):
+    """Extended-panel dual stage: locals 0..T+2*HALO-1 map to global rows
+    t*T-HALO .. t*T+T+HALO-1; outputs cover locals HALO..HALO+T-1;
+    adjoints at local l read l-1, so halo-row values are computed too and
+    zeroed where the global row is < 0 (the w[-1] == 0 convention)."""
+    t = pl.program_id(0)
+    dtype = theta_s.dtype
+    kappa = scal_ref[0]
+    s_mix = scal_ref[1]
+    s_ax1 = scal_ref[2]
+    s_ax0 = scal_ref[3]
+    uscale = scal_ref[4]
+
+    ins = [theta_hbm, u0_hbm, u1_hbm, u2_hbm]
+    scr = [theta_s, u0_s, u1_s, u2_s]
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems)
+
+    theta = theta_s[cur]
+    H = HALO
+    R = T + 2 * H
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 1)
+    mask0 = jnp.logical_and(g < m0 - 1, g >= 0).astype(dtype)
+    mask1 = (col < m1 - 1).astype(dtype)
+    valid = (g >= 0).astype(dtype)
+
+    # Forward diffs on the extended panel.  _shift_down wraps local row
+    # R-1, whose results are never consumed (outputs stop at local T and
+    # d at local T reads theta[T+1], in-panel).
+    d0 = (_shift_down(theta, 0) - theta) * mask0
+    dt_mix = s_mix * _fwd1(d0, mask1)
+    dt_ax1 = s_ax1 * _fwd1(theta, mask1) * valid
+    dt_ax0 = s_ax0 * d0
+
+    def soft(z):
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
+
+    u0 = uscale * u0_s[cur] * valid
+    u1 = uscale * u1_s[cur] * valid
+    u2 = uscale * u2_s[cur] * valid
+    a0 = soft(dt_mix - u0)
+    a1 = soft(dt_ax1 - u1)
+    a2 = soft(dt_ax0 - u2)
+    r0 = a0 - dt_mix
+    r1 = a1 - dt_ax1
+    r2 = a2 - dt_ax0
+    un0 = u0 + r0
+    un1 = u1 + r1
+    un2 = u2 + r2
+
+    sl = slice(H, T + H)
+    a0_ref[:] = a0[sl]
+    a1_ref[:] = a1[sl]
+    a2_ref[:] = a2[sl]
+    un0_ref[:] = un0[sl]
+    un1_ref[:] = un1[sl]
+    un2_ref[:] = un2[sl]
+
+    # Adjoint stencils (valid at locals 1..T given halo values at 0).
+    dtr = s_mix * _adj0(_adj1(r0)) + s_ax1 * _adj1(r1) + s_ax0 * _adj0(r2)
+    dtu = (s_mix * _adj0(_adj1(un0)) + s_ax1 * _adj1(un1)
+           + s_ax0 * _adj0(un2))
+
+    part = [
+        (jnp.sum(r0[sl] ** 2) + jnp.sum(r1[sl] ** 2) + jnp.sum(r2[sl] ** 2)),
+        (jnp.sum(dt_mix[sl] ** 2) + jnp.sum(dt_ax1[sl] ** 2)
+         + jnp.sum(dt_ax0[sl] ** 2)),
+        (jnp.sum(a0[sl] ** 2) + jnp.sum(a1[sl] ** 2) + jnp.sum(a2[sl] ** 2)),
+        jnp.sum(dtr[sl] ** 2),
+        jnp.sum(dtu[sl] ** 2),
+    ]
+
+    @pl.when(t == 0)
+    def _():
+        for i, v in enumerate(part):
+            stats_ref[i] = v
+
+    @pl.when(t > 0)
+    def _():
+        for i, v in enumerate(part):
+            stats_ref[i] = stats_ref[i] + v
+
+
+def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
+                         kappa: jax.Array, scales: Tuple[jax.Array, ...],
+                         u_scale: jax.Array | None = None,
+                         interpret: bool = False,
+                         tile_rows: int | None = None):
+    """Row-panel-streamed dual_update_2d for lattices above the
+    whole-lattice VMEM gate.  Same contract as dual_update_2d."""
+    m = tuple(int(v) for v in theta.shape)
+    dtype = theta.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    scal = jnp.stack([
+        jnp.asarray(kappa, dtype),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+    ])
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    smem_stat = pl.BlockSpec((5,), lambda t: (0,), memory_space=pltpu.SMEM)
+    shp = jax.ShapeDtypeStruct(m, dtype)
+    outs = pl.pallas_call(
+        functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles),
+        grid=(n_tiles,),
+        out_shape=tuple([shp] * 6) + (jax.ShapeDtypeStruct((5,), dtype),),
+        in_specs=[any_spec] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple([tile_spec] * 6) + (smem_stat,),
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((2, 4))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(theta, u[0], u[1], u[2], scal)
+    return outs[0:3], outs[3:6], outs[6]
+
+
+def _tiled_rhs_kernel(T, m0, m1, n_tiles,
+                      a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm,
+                      oty_ref, scal_ref, b_ref,
+                      a0_s, a1_s, a2_s, u0_s, u1_s, u2_s, sems):
+    """b = oty + rho D'(alpha + u_scale u) on row panels with a one-row
+    top halo (adjoints read local l-1)."""
+    t = pl.program_id(0)
+    dtype = oty_ref.dtype
+    rho = scal_ref[0]
+    uscale = scal_ref[1]
+    s_mix = scal_ref[2]
+    s_ax1 = scal_ref[3]
+    s_ax0 = scal_ref[4]
+
+    ins = [a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm]
+    scr = [a0_s, a1_s, a2_s, u0_s, u1_s, u2_s]
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems)
+
+    H = HALO
+    R = T + 2 * H
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    valid = (g >= 0).astype(dtype)
+    au0 = (a0_s[cur] + uscale * u0_s[cur]) * valid
+    au1 = (a1_s[cur] + uscale * u1_s[cur]) * valid
+    au2 = (a2_s[cur] + uscale * u2_s[cur]) * valid
+    acc = (s_mix * _adj0(_adj1(au0)) + s_ax1 * _adj1(au1)
+           + s_ax0 * _adj0(au2))
+    b_ref[:] = oty_ref[:] + rho * acc[H:T + H]
+
+
+def rhs_tiled_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
+                 oty: jax.Array, rho: jax.Array, u_scale: jax.Array,
+                 scales: Tuple[jax.Array, ...],
+                 interpret: bool = False,
+                 tile_rows: int | None = None) -> jax.Array:
+    """Row-panel-streamed rhs_2d (same contract) for large lattices."""
+    m = tuple(int(v) for v in oty.shape)
+    dtype = oty.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+    ])
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled_rhs_kernel, T, m[0], m[1], n_tiles),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(m, dtype),
+        in_specs=[any_spec] * 6 + [tile_spec,
+                                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 6
+        + [pltpu.SemaphoreType.DMA((2, 6))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(alpha[0], alpha[1], alpha[2], u[0], u[1], u[2], oty, scal)
+    return out

@@ -130,6 +130,18 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and jax.default_backend() == "tpu"
         and problem.counts.ndim == len(ops.m)
     )
+    # Above the whole-lattice gate, the dual/rhs stencil stages stream
+    # through the tiled row-panel kernels (2048^2+: measured 5.5 ms of
+    # the 17.4 ms 4096^2 iteration went to the separate jnp stencil and
+    # reduction passes these replace).
+    use_tiled = (
+        cfg.use_pallas
+        and not batched
+        and not use_pallas
+        and pk.tiled_supported(ops.m, ops.binaries)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
 
     # Loop-invariant blocked layout of counts for the large-lattice
     # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
@@ -148,17 +160,26 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         if use_pallas:
             b = pk.rhs_2d(s.alpha, s.u, problem.oty, s.rho, s.u_scale,
                           ops.scales)
+        elif use_tiled:
+            b = pk.rhs_tiled_2d(s.alpha, s.u, problem.oty, s.rho,
+                                s.u_scale, ops.scales,
+                                interpret=FORCE_FUSED_INTERPRET)
         else:
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
             b = problem.oty + s.rho * ops.apply_Dt(au)
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
                                cfg, use_pallas=use_pallas,
                                counts_blocked=counts_blocked)
-        if use_pallas:
+        if use_pallas or use_tiled:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.
-            alpha, u, stats = pk.dual_update_2d(
-                theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale)
+            if use_pallas:
+                alpha, u, stats = pk.dual_update_2d(
+                    theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale)
+            else:
+                alpha, u, stats = pk.dual_update_tiled_2d(
+                    theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
+                    interpret=FORCE_FUSED_INTERPRET)
             primal_norm = jnp.sqrt(stats[0])
             d_theta_norm = jnp.sqrt(stats[1])
             alpha_norm = jnp.sqrt(stats[2])

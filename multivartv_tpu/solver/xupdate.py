@@ -34,6 +34,12 @@ from multivartv_tpu.solver.problem import Operators, Problem
 # are testable on the CPU harness (same pattern as admm.FORCE_FUSED_INTERPRET).
 FORCE_XLA_PACKED = False
 
+# Minimum per-axis half-width for the blocked (concat-free) spectral CG
+# layout; below it the 2^p half-size matmuls fall under the 128-lane MXU
+# tile and the packed concatenated layout wins (measured at 128^3).
+# Tests lower this to exercise the blocked path on tiny lattices.
+BLOCKED_MIN_HALF = 128
+
 
 def _xla_packed_applies(ops: Operators, cfg: SolverConfig) -> bool:
     """The folded/packed-DCT PCG x-update in plain XLA: the production
@@ -50,6 +56,33 @@ def _xla_packed_applies(ops: Operators, cfg: SolverConfig) -> bool:
         and ops.gram_eigs_packed is not None
         and (jax.default_backend() == "tpu" or FORCE_XLA_PACKED)
     )
+
+
+def _spectral_cg_packed(ops: Operators, counts, b, rho, x0, matvec,
+                        w, eigs_packed, fwd, inv, n_steps: int):
+    """Fixed-step spectral-correction CG in the packed (concatenated)
+    layout — kept for small-axis lattices where the blocked layout's
+    half-size matmuls fall below MXU tile width (see call site)."""
+    from multivartv_tpu.solver.cg import _poison_if_nonfinite
+    eps = jnp.asarray(1e-30, b.dtype)
+    rl = rho * eigs_packed
+    rh = fwd(b - matvec(x0))
+    zh = rh / w
+    p = zh
+    rz = jnp.sum(rh * zh)
+    xh = jnp.zeros_like(rh)
+    for _ in range(n_steps):
+        ap = fwd(counts * inv(p)) + rl * p
+        alpha_cg = rz / jnp.maximum(jnp.sum(p * ap), eps)
+        xh = xh + alpha_cg * p
+        rh = rh - alpha_cg * ap
+        zh = rh / w
+        rz_new = jnp.sum(rh * zh)
+        beta = rz_new / jnp.maximum(rz, eps)
+        p = zh + beta * p
+        rz = rz_new
+    x = x0 + inv(xh)
+    return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
 
 
 def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
@@ -179,7 +212,7 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         def inv(v):
             return dct_ops.idctn_packed(v, halves, mat_dtype=md)
 
-        if cfg.spectral_cg and ops.gram_eigs_blocked is not None:
+        if cfg.spectral_cg:
             # CG in the SPECTRAL domain, as a CORRECTION solve: A-hat =
             # F diag(counts) F' + rho Lambda, so the Gram matvec is a
             # diagonal multiply (no stencil passes) and the preconditioner
@@ -194,15 +227,23 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # structure).  Dots are preserved by the orthonormal
             # transform, so CG scalars live on spectral vectors directly.
             #
-            # The whole loop runs in the BLOCKED layout (ops/dct.py): every
-            # vector is a tuple of 2^p half-size blocks, the folds are
-            # elementwise block arithmetic and NO concatenate copies exist
-            # inside the loop — the former per-axis concats were the
-            # measured HBM wall at 2048^2/4096^2.  Layout conversion is
-            # one copy each way at the solve boundary.
-            return _spectral_cg_blocked(ops, counts, b, rho, x0, matvec,
-                                        cbar, n_steps,
-                                        counts_blocked=counts_blocked)
+            # Layout choice: the BLOCKED form (ops/dct.py) removes every
+            # per-axis concatenate copy — the measured HBM wall at
+            # 2048^2/4096^2 (504.9 vs 451.7 iters/s at 2048^2) — but its
+            # 2^p half-size matmuls under-utilize the MXU when the half
+            # width drops below the 128-lane tile (128^3: halves of 64,
+            # measured 536 vs 712 iters/s), so small-axis lattices keep
+            # the packed concatenated form.
+            use_blocked = (
+                ops.gram_eigs_blocked is not None
+                and all(v // 2 >= BLOCKED_MIN_HALF for v in ops.m)
+            )
+            if use_blocked:
+                return _spectral_cg_blocked(ops, counts, b, rho, x0, matvec,
+                                            cbar, n_steps,
+                                            counts_blocked=counts_blocked)
+            return _spectral_cg_packed(ops, counts, b, rho, x0, matvec,
+                                       w, eigs_packed, fwd, inv, n_steps)
 
         def matvec_dot(v):
             av = matvec(v)

@@ -1,4 +1,5 @@
 import sys, time
+sys.path.insert(0, '/root/repo')
 from multivartv_tpu.config import SolverConfig
 import bench
 cfg = SolverConfig()

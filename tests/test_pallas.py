@@ -217,3 +217,123 @@ def test_fused_admm_iterations_match_loop(setup):
                       rtol=1e-2)
     assert np.isclose(float(rho * uscale * jnp.sqrt(stats[3])),
                       float(s.dual_norm), rtol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Tiled row-panel kernels (7/8) for large lattices — interpret-mode parity
+# vs the jnp reference stages.
+# ---------------------------------------------------------------------------
+
+class TestTiledKernels:
+    M = (32, 128)
+
+    def _setup(self, seed=5):
+        from multivartv_tpu.ops import diff as diff_ops
+        rng = np.random.RandomState(seed)
+        m = self.M
+        bins = diff_ops.fd_binaries(2)
+        deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+        scales = diff_ops.delta_scales(bins, deltas)
+        theta = jnp.asarray(rng.randn(*m), jnp.float32)
+        u = tuple(
+            jnp.asarray(rng.randn(*m), jnp.float32)
+            * diff_ops.edge_mask(m, b, jnp.float32) for b in bins)
+        return bins, scales, theta, u
+
+    @pytest.mark.parametrize("tile_rows", [8, 16])
+    def test_tiled_dual_matches_jnp(self, tile_rows):
+        from multivartv_tpu.ops import diff as diff_ops
+        from multivartv_tpu.ops.prox import soft_threshold_blocks
+        bins, scales, theta, u = self._setup()
+        kappa = jnp.asarray(0.3, jnp.float32)
+        uscale = jnp.asarray(0.5, jnp.float32)
+
+        alpha, un, stats = pk.dual_update_tiled_2d(
+            theta, u, kappa, scales, u_scale=uscale, interpret=True,
+            tile_rows=tile_rows)
+
+        d_theta = diff_ops.apply_D(theta, bins, scales)
+        u_eff = tuple(uscale * w for w in u)
+        a_ref = soft_threshold_blocks(
+            tuple(dt - w for dt, w in zip(d_theta, u_eff)), kappa)
+        r_ref = tuple(a - dt for a, dt in zip(a_ref, d_theta))
+        un_ref = tuple(w + r for w, r in zip(u_eff, r_ref))
+        for got, want in zip(alpha, a_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+        for got, want in zip(un, un_ref):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6)
+        want_stats = [
+            float(diff_ops.blocks_norm_sq(r_ref)),
+            float(diff_ops.blocks_norm_sq(d_theta)),
+            float(diff_ops.blocks_norm_sq(a_ref)),
+            float(jnp.sum(jnp.square(
+                diff_ops.apply_Dt(r_ref, bins, scales)))),
+            float(jnp.sum(jnp.square(
+                diff_ops.apply_Dt(un_ref, bins, scales)))),
+        ]
+        np.testing.assert_allclose(np.asarray(stats), want_stats, rtol=1e-4)
+
+    @pytest.mark.parametrize("tile_rows", [8, 16])
+    def test_tiled_rhs_matches_jnp(self, tile_rows):
+        from multivartv_tpu.ops import diff as diff_ops
+        bins, scales, theta, u = self._setup(seed=9)
+        alpha = tuple(
+            jnp.asarray(np.random.RandomState(2).randn(*self.M), jnp.float32)
+            * diff_ops.edge_mask(self.M, b, jnp.float32) for b in bins)
+        oty = jnp.asarray(np.random.RandomState(3).randn(*self.M),
+                          jnp.float32)
+        rho = jnp.asarray(0.07, jnp.float32)
+        uscale = jnp.asarray(0.5, jnp.float32)
+
+        b = pk.rhs_tiled_2d(alpha, u, oty, rho, uscale, scales,
+                            interpret=True, tile_rows=tile_rows)
+        au = tuple(a + uscale * w for a, w in zip(alpha, u))
+        want = oty + rho * diff_ops.apply_Dt(au, bins, scales)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_tiled_gate(self):
+        bins = (((1, 1), (0, 1), (1, 0)))
+        assert pk.tiled_supported((2048, 2048), bins)
+        assert pk.tiled_supported((4096, 4096), bins)
+        assert not pk.tiled_supported((2048, 2049), bins)  # lane-unaligned
+        assert not pk.tiled_supported((100,), bins)
+
+    def test_admm_solve_through_tiled_path(self, monkeypatch):
+        """make_admm_iteration routes large aligned lattices through the
+        tiled kernels; the converged solve matches the jnp path."""
+        from multivartv_tpu.config import SolverConfig
+        from multivartv_tpu.solver import admm
+        from multivartv_tpu.solver.problem import Problem, build_operators
+
+        m = (32, 128)
+        monkeypatch.setattr(pk, "_tile_rows", lambda mm: 8)
+        monkeypatch.setattr(admm, "FORCE_FUSED_INTERPRET", True)
+        rng = np.random.RandomState(11)
+        deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+        counts = jnp.asarray(rng.poisson(2, m).astype(np.float32))
+        oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+        problem = Problem(counts=counts, oty=oty,
+                          ybar=jnp.sum(oty) / jnp.sum(counts),
+                          flat_idx=jnp.zeros((1,), jnp.int32),
+                          y=jnp.zeros((1,), jnp.float32))
+        lam = jnp.asarray(0.08, jnp.float32)
+        # chunk_iters=1 keeps the per-iteration body (kernel 5 would
+        # otherwise take over under FORCE_FUSED_INTERPRET); max_iters
+        # bounds the interpret-mode runtime.
+        cfg = SolverConfig(chunk_iters=1, cg_fixed_iters=3, max_iters=40,
+                           use_pallas=True)
+        ops = build_operators(m, deltas, cfg, jnp.float32)
+        assert pk.tiled_supported(m, ops.binaries)
+        s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+        out = admm.admm_solve(ops, problem, lam, s0, cfg)
+
+        monkeypatch.setattr(admm, "FORCE_FUSED_INTERPRET", False)
+        cfg_ref = SolverConfig(chunk_iters=1, cg_fixed_iters=3,
+                               max_iters=40, use_pallas=False)
+        ref = admm.admm_solve(ops, problem, lam, s0, cfg_ref)
+        assert int(out.counter) == int(ref.counter)
+        np.testing.assert_allclose(np.asarray(out.theta),
+                                   np.asarray(ref.theta), atol=2e-4)
