@@ -490,3 +490,240 @@ def gram_pinv_apply(b: jax.Array, gram_eigs: jax.Array, mats=None) -> jax.Array:
     safe = jnp.where(gram_eigs > 0, gram_eigs, 1.0)
     inv = jnp.where(gram_eigs > 0, coeffs / safe, 0.0)
     return idctn_mat(inv, mats) if mats is not None else idctn(inv)
+
+
+# -- Depth-2 fast folded DCT ("quartered" layout): HALF the MXU FLOPs of
+# the folded transform. --------------------------------------------------
+#
+# One more recursion level on top of the even/odd fold:
+#   DCT-II(n) --fold--> [DCT-II(n/2) on s,  DCT-IV(n/2) on d]
+#   DCT-II(n/2)  --fold-->    [DCT-II(q) on ss, DCT-IV(q) on sd],  q = n/4
+#   DCT-IV(n/2)  --rotation-> [DCT-II(q) on u,  DST-II(q) on v]
+# where the DCT-IV split is the Givens-rotation identity (validated
+# numerically to 1e-14, see tests):
+#   u_j = cos(t_j) d_j + sin(t_j) d_{h-1-j},  t_j = pi(2j+1)/(4h)
+#   v_j = sin(t_j) d_j - cos(t_j) d_{h-1-j}
+#   X4_{2t} = ce_t - se_{t-1},  X4_{2t+1} = ce_{t+1} + se_t
+#   ce = DCT-II(q) u (ce_q := 0),   se = DST-II(q) v
+# and DST-II(q) = flip_rows(DCT-II(q) . diag((-1)^j)).
+#
+# Per axis: 4 matmuls of (q x q) = n^2/4 MACs, vs n^2/2 for the single
+# fold — 2x fewer MXU FLOPs, the dominant cost of the spectral CG at
+# 2048^2+ (the folded transforms measured AT the MXU roofline there).
+#
+# Layout: each axis splits into FOUR blocks.  Natural ("M") layout:
+#   M0 = x[0:q],  M1 = flip(x[q:2q]),  M2 = x[2q:3q],  M3 = flip(x[3q:4q])
+# chosen so both fold levels AND the rotation pairing become pure
+# elementwise block arithmetic (no flips inside the loop).  Spectral
+# layout: [EE, EO, OE, OO] with frequency patterns k mod 4 = (0, 2, 1, 3).
+
+QUARTER_FREQ_PATTERN = (0, 2, 1, 3)
+
+
+def _dct2_kernel_np(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None].astype(np.float64)
+    j = np.arange(n)[None, :].astype(np.float64)
+    return np.cos(np.pi * k * (2.0 * j + 1.0) / (2.0 * n))
+
+
+def _dct4_kernel_np(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None].astype(np.float64)
+    j = np.arange(n)[None, :].astype(np.float64)
+    return np.cos(np.pi * (2.0 * k + 1.0) * (2.0 * j + 1.0) / (4.0 * n))
+
+
+def dct_quarter_mats(n: int, dtype=jnp.float32):
+    """Per-axis operands of the depth-2 fast DCT: (C2q, V4q, C2qf, c1,
+    s1, alt, w) — matmul kernels are stored CONTRACTION-ready (columns =
+    input), w = the 4 orthonormalization weight vectors in block order."""
+    assert n % 4 == 0, f"quartered DCT needs n % 4 == 0, got {n}"
+    q = n // 4
+    h = n // 2
+    C2q = _dct2_kernel_np(q)
+    V4q = _dct4_kernel_np(q)
+    C2qf = C2q[::-1, :].copy()
+    th = np.pi * (2.0 * np.arange(q) + 1.0) / (4.0 * h)
+    c1 = np.cos(th)
+    s1 = np.sin(th)
+    alt = (-1.0) ** np.arange(q)
+    wn = np.full(n, np.sqrt(2.0 / n))
+    wn[0] = np.sqrt(1.0 / n)
+    w = tuple(jnp.asarray(wn[p::4], dtype) for p in QUARTER_FREQ_PATTERN)
+    return (jnp.asarray(C2q, dtype), jnp.asarray(V4q, dtype),
+            jnp.asarray(C2qf, dtype), jnp.asarray(c1, dtype),
+            jnp.asarray(s1, dtype), jnp.asarray(alt, dtype), w)
+
+
+def to_blocks4(x: jax.Array, p: int) -> Tuple[jax.Array, ...]:
+    """Natural p-axis array -> 4^p M-layout blocks (trailing p axes
+    quartered; digit order per axis: M0, M1, M2, M3 as defined above).
+    One full-array copy."""
+    nb = x.ndim - p
+    blocks = [x]
+    for j in range(p):
+        ax = nb + j
+        new = []
+        for a in blocks:
+            n = a.shape[ax]
+            assert n % 4 == 0
+            q = n // 4
+            qs = [jax.lax.slice_in_dim(a, i * q, (i + 1) * q, axis=ax)
+                  for i in range(4)]
+            new += [qs[0], jnp.flip(qs[1], axis=ax), qs[2],
+                    jnp.flip(qs[3], axis=ax)]
+        blocks = new
+    return tuple(blocks)
+
+
+def from_blocks4(blocks: Tuple[jax.Array, ...], p: int) -> jax.Array:
+    """Inverse of to_blocks4 (one full-array copy)."""
+    blocks = list(blocks)
+    for j in reversed(range(p)):
+        ax = blocks[0].ndim - p + j
+        new = []
+        for i in range(0, len(blocks), 4):
+            m0, m1, m2, m3 = blocks[i:i + 4]
+            new.append(jnp.concatenate(
+                [m0, jnp.flip(m1, axis=ax), m2, jnp.flip(m3, axis=ax)],
+                axis=ax))
+        blocks = new
+    return blocks[0]
+
+
+def quartered_spectrum(eigs: jax.Array) -> Tuple[jax.Array, ...]:
+    """Natural-frequency-order spectral array -> quartered layout (4^p
+    blocks; per-axis digit d keeps frequencies k = QUARTER_FREQ_PATTERN[d]
+    mod 4)."""
+    p = eigs.ndim
+    blocks = [eigs]
+    for j in range(p):
+        new = []
+        for a in blocks:
+            for pat in QUARTER_FREQ_PATTERN:
+                idx = jnp.arange(pat, a.shape[j], 4)
+                new.append(jnp.take(a, idx, axis=j))
+        blocks = new
+    return tuple(blocks)
+
+
+def _shift_last(x: jax.Array, down: bool) -> jax.Array:
+    """down: y_t = x_{t-1} (y_0 = 0); else y_t = x_{t+1} (y_last = 0).
+    Along the LAST axis."""
+    n = x.shape[-1]
+    if down:
+        y = jnp.roll(x, 1, axis=-1)
+        i = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+        return jnp.where(i > 0, y, 0.0)
+    y = jnp.roll(x, -1, axis=-1)
+    i = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(i < n - 1, y, 0.0)
+
+
+def _shift_axis(x: jax.Array, ax: int, down: bool) -> jax.Array:
+    n = x.shape[ax]
+    y = jnp.roll(x, 1 if down else -1, axis=ax)
+    i = jax.lax.broadcasted_iota(jnp.int32, x.shape, ax)
+    return jnp.where(i > 0 if down else i < n - 1, y, 0.0)
+
+
+def dctn_quartered(blocks: Tuple[jax.Array, ...], quarters,
+                   mat_dtype=None) -> Tuple[jax.Array, ...]:
+    """M-layout natural blocks -> [EE, EO, OE, OO]-per-axis spectral
+    blocks (orthonormal coefficients).  Cyclic axis consumption as in
+    dctn_blocked; zero concatenates."""
+    p = len(quarters)
+    nb = blocks[0].ndim - p
+    cur = list(blocks)
+    dtype = blocks[0].dtype
+    for jax_ax, (C2q, V4q, C2qf, c1, s1, alt, w) in enumerate(quarters):
+        md = mat_dtype or C2q.dtype
+        c2m, v4m, c2fm = C2q.astype(md), V4q.astype(md), C2qf.astype(md)
+        nblk = blocks[0].ndim - nb   # p trailing dims per block, constant
+        # diagonals act along axis nb (pre-contraction)
+        dshape = (1,) * nb + (c1.shape[0],) + (1,) * (nblk - 1)
+        c1b = c1.reshape(dshape)
+        s1b = s1.reshape(dshape)
+        altb = alt.reshape(dshape)
+        stride = 4 ** (p - 1 - jax_ax)
+        new = [None] * len(cur)
+        groups = [g for g in range(len(cur))
+                  if (g // stride) % 4 == 0]
+        for g in groups:
+            d0 = cur[g]
+            d1 = cur[g + stride]
+            d2 = cur[g + 2 * stride]
+            d3 = cur[g + 3 * stride]
+            ss = (d0 + d1 + d2 + d3).astype(md)
+            sd = (d0 - d1 - d2 + d3).astype(md)
+            e0 = d0 - d3
+            e1 = d1 - d2
+            u = (c1b * e0 + s1b * e1).astype(md)
+            vq = (altb * (s1b * e0 - c1b * e1)).astype(md)
+
+            def dot(a, t):
+                return jax.lax.dot_general(
+                    a, t, (((nb,), (1,)), ((), ())),
+                    preferred_element_type=dtype)
+
+            EE = dot(ss, c2m)
+            EO = dot(sd, v4m)
+            ce = dot(u, c2m)
+            se = dot(vq, c2fm)
+            OE = ce - _shift_last(se, down=True)
+            OO = _shift_last(ce, down=False) + se
+            new[g] = EE * w[0]
+            new[g + stride] = EO * w[1]
+            new[g + 2 * stride] = OE * w[2]
+            new[g + 3 * stride] = OO * w[3]
+        cur = new
+    return tuple(cur)
+
+
+def idctn_quartered(blocks: Tuple[jax.Array, ...], quarters,
+                    mat_dtype=None) -> Tuple[jax.Array, ...]:
+    """Inverse of dctn_quartered (transpose pipeline): spectral quartered
+    blocks -> M-layout natural blocks."""
+    p = len(quarters)
+    nb = blocks[0].ndim - p
+    cur = list(blocks)
+    dtype = blocks[0].dtype
+    for jax_ax, (C2q, V4q, C2qf, c1, s1, alt, w) in enumerate(quarters):
+        md = mat_dtype or C2q.dtype
+        c2m, v4m, c2fm = C2q.astype(md), V4q.astype(md), C2qf.astype(md)
+        nblk = blocks[0].ndim - nb
+        dshape = (1,) * nb + (w[0].shape[0],) + (1,) * (nblk - 1)
+        wb = [wv.reshape(dshape) for wv in w]
+        stride = 4 ** (p - 1 - jax_ax)
+        new = [None] * len(cur)
+        groups = [g for g in range(len(cur))
+                  if (g // stride) % 4 == 0]
+        for g in groups:
+            EEw = cur[g] * wb[0]
+            EOw = cur[g + stride] * wb[1]
+            OEw = cur[g + 2 * stride] * wb[2]
+            OOw = cur[g + 3 * stride] * wb[3]
+            ce_a = OEw + _shift_axis(OOw, nb, down=True)
+            se_a = OOw - _shift_axis(OEw, nb, down=False)
+
+            def dott(a, t):
+                return jax.lax.dot_general(
+                    a.astype(md), t, (((nb,), (0,)), ((), ())),
+                    preferred_element_type=dtype)
+
+            ss_a = dott(EEw, c2m)
+            sd_a = dott(EOw, v4m)
+            u_a = dott(ce_a, c2m)
+            v_a = alt * dott(se_a, c2fm)
+            # P^T: diagonals act along the LAST axis post-contraction
+            spd = ss_a + sd_a
+            smd = ss_a - sd_a
+            cu = c1 * u_a
+            su = s1 * u_a
+            cv = c1 * v_a
+            sv = s1 * v_a
+            new[g] = spd + cu + sv
+            new[g + stride] = smd + su - cv
+            new[g + 2 * stride] = smd - su + cv
+            new[g + 3 * stride] = spd - cu - sv
+        cur = new
+    return tuple(cur)

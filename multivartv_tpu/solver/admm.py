@@ -143,17 +143,15 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and problem.counts.ndim == len(ops.m)
     )
 
-    # Loop-invariant blocked layout of counts for the large-lattice
+    # Loop-invariant layout conversion of counts for the large-lattice
     # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
     # per iteration inside the while_loop body.
-    from multivartv_tpu.ops import dct as dct_ops
     from multivartv_tpu.solver import xupdate as xup
     counts_blocked = None
     if (cfg.x_solver == "dct_pcg" and cfg.spectral_cg
-            and ops.gram_eigs_blocked is not None
             and xup._xla_packed_applies(ops, cfg)
             and problem.counts.ndim == len(ops.m)):
-        counts_blocked = dct_ops.to_blocks(problem.counts, len(ops.m))
+        counts_blocked = xup.counts_to_layout(ops, problem.counts)
 
     def body(s: ADMMState) -> ADMMState:
         # x-update: b = O'y + rho D'(alpha + u_scale * u)

@@ -53,6 +53,11 @@ class Operators:
     # (ops/dct.py blocked section).
     dct_halves_lp: Optional[Tuple[Tuple[jax.Array, jax.Array], ...]] = None
     gram_eigs_blocked: Optional[Tuple[jax.Array, ...]] = None
+    # Depth-2 fast-DCT ("quartered", ops/dct.py) objects for the largest
+    # lattices: HALF the MXU FLOPs of the folded transform.  bf16 operand
+    # set + Gram eigenvalues in quartered layout.
+    dct_quarters_lp: Optional[Tuple[tuple, ...]] = None
+    gram_eigs_quartered: Optional[Tuple[jax.Array, ...]] = None
     # TV cell sizes the operators were built with — kept so derived
     # (padded) operator sets can be rebuilt (solver/pad.py).
     deltas: Optional[jax.Array] = None
@@ -92,6 +97,13 @@ class Problem:
     train_mask: Optional[jax.Array] = None  # (n,) 0/1; None = all train
 
 
+# Minimum axis size for building the depth-2 fast-DCT ("quartered")
+# operand set: below it the quarter-width (n/4) matmuls gain nothing over
+# the folded halves (MXU contraction width), so only the largest lattices
+# carry the extra operands.  Tests lower this to exercise the path.
+QUARTER_MIN_AXIS = 1024
+
+
 def build_operators(m: Sequence[int], deltas: jax.Array,
                     cfg: SolverConfig, dtype=jnp.float32) -> Operators:
     m = tuple(int(v) for v in m)
@@ -124,6 +136,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     gram_eigs_packed = None
     dct_halves_lp = None
     gram_eigs_blocked = None
+    dct_quarters_lp = None
+    gram_eigs_quartered = None
     if (need_dct and max(m) <= 8192
             and all(v % 2 == 0 for v in m)):
         dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
@@ -132,6 +146,14 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
             (te.astype(jnp.bfloat16), to.astype(jnp.bfloat16))
             for te, to in dct_halves)
         gram_eigs_blocked = dct_ops.blocked_spectrum(gram_eigs)
+        if all(v % 4 == 0 and v >= QUARTER_MIN_AXIS for v in m):
+            def _lp(qm):
+                C2q, V4q, C2qf, c1, s1, alt, w = qm
+                return (C2q.astype(jnp.bfloat16), V4q.astype(jnp.bfloat16),
+                        C2qf.astype(jnp.bfloat16), c1, s1, alt, w)
+            dct_quarters_lp = tuple(
+                _lp(dct_ops.dct_quarter_mats(v, dtype)) for v in m)
+            gram_eigs_quartered = dct_ops.quartered_spectrum(gram_eigs)
     return Operators(
         binaries=binaries,
         m=m,
@@ -143,6 +165,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         gram_eigs_packed=gram_eigs_packed,
         dct_halves_lp=dct_halves_lp,
         gram_eigs_blocked=gram_eigs_blocked,
+        dct_quarters_lp=dct_quarters_lp,
+        gram_eigs_quartered=gram_eigs_quartered,
         deltas=jnp.asarray(deltas, dtype),
     )
 

@@ -85,17 +85,44 @@ def _spectral_cg_packed(ops: Operators, counts, b, rho, x0, matvec,
     return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
 
 
-def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
-                         cbar, n_steps: int, counts_blocked=None):
-    """Fixed-step spectral-correction CG in the blocked layout.
+def spectral_layout(ops: Operators) -> str | None:
+    """Which spectral-CG memory layout the large-lattice x-update runs in:
+      "quartered" — depth-2 fast DCT, half the MXU FLOPs (largest axes);
+      "blocked"   — concat-free folded DCT (half-width >= 128);
+      "packed"    — concatenated folded DCT (small axes);
+      None        — no packed operand set.
+    """
+    if ops.dct_halves is None or ops.gram_eigs_packed is None:
+        return None
+    if ops.gram_eigs_quartered is not None and ops.dct_quarters_lp is not None:
+        return "quartered"
+    if (ops.gram_eigs_blocked is not None
+            and all(v // 2 >= BLOCKED_MIN_HALF for v in ops.m)):
+        return "blocked"
+    return "packed"
 
-    See the call site for the numerics rationale; this helper is the
-    mechanical part: tuples of 2^p half-size blocks, bf16 MXU transforms
-    (ops.dct_halves_lp), f32 weights and CG vectors."""
+
+def counts_to_layout(ops: Operators, counts):
+    """Loop-invariant layout conversion of counts for the spectral CG
+    (hoisted out of the ADMM while_loop body by make_admm_iteration)."""
+    lay = spectral_layout(ops)
+    p = len(ops.m)
+    if lay == "quartered":
+        return dct_ops.to_blocks4(counts, p)
+    if lay == "blocked":
+        return dct_ops.to_blocks(counts, p)
+    return None
+
+
+def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
+                         eigs_blocks, cbar, n_steps: int, counts_b):
+    """Fixed-step spectral-correction CG over tuple-of-blocks layouts.
+
+    The mechanical core shared by the blocked (2^p halves) and quartered
+    (4^p, depth-2 fast DCT) layouts: bf16 MXU transforms, f32 weights and
+    CG vectors, dots = sums of blockwise dots (the layouts are
+    reindexings of the orthonormal coefficients)."""
     from multivartv_tpu.solver.cg import _poison_if_nonfinite
-
-    p_dims = len(ops.m)
-    halves = ops.dct_halves_lp or ops.dct_halves
     eps = jnp.asarray(1e-30, b.dtype)
 
     def bmap(f, *ts):
@@ -104,18 +131,10 @@ def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
     def bdot(a, c):
         return sum(jnp.sum(x * y) for x, y in zip(a, c))
 
-    w = bmap(lambda e: cbar + rho * e, ops.gram_eigs_blocked)
-    rl = bmap(lambda e: rho * e, ops.gram_eigs_blocked)
-    counts_b = (counts_blocked if counts_blocked is not None
-                else dct_ops.to_blocks(counts, p_dims))
+    w = bmap(lambda e: cbar + rho * e, eigs_blocks)
+    rl = bmap(lambda e: rho * e, eigs_blocks)
 
-    def fwd(v):
-        return dct_ops.dctn_blocked(v, halves)
-
-    def inv(v):
-        return dct_ops.idctn_blocked(v, halves)
-
-    rh = fwd(dct_ops.to_blocks(b - matvec(x0), p_dims))
+    rh = fwd(to_b(b - matvec(x0)))
     zh = bmap(lambda r, ww: r / ww, rh, w)
     p = zh
     rz = bdot(rh, zh)
@@ -131,8 +150,43 @@ def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
         beta = rz_new / jnp.maximum(rz, eps)
         p = bmap(lambda z, pp: z + beta * pp, zh, p)
         rz = rz_new
-    x = x0 + dct_ops.from_blocks(inv(xh), p_dims)
+    x = x0 + from_b(inv(xh))
     return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
+
+
+def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
+                         cbar, n_steps: int, counts_blocked=None):
+    """Spectral-correction CG in the blocked (2^p halves) layout."""
+    p_dims = len(ops.m)
+    halves = ops.dct_halves_lp or ops.dct_halves
+    counts_b = (counts_blocked if counts_blocked is not None
+                else dct_ops.to_blocks(counts, p_dims))
+    return _spectral_cg_generic(
+        b, rho, x0, matvec,
+        to_b=lambda v: dct_ops.to_blocks(v, p_dims),
+        from_b=lambda v: dct_ops.from_blocks(v, p_dims),
+        fwd=lambda v: dct_ops.dctn_blocked(v, halves),
+        inv=lambda v: dct_ops.idctn_blocked(v, halves),
+        eigs_blocks=ops.gram_eigs_blocked, cbar=cbar, n_steps=n_steps,
+        counts_b=counts_b)
+
+
+def _spectral_cg_quartered(ops: Operators, counts, b, rho, x0, matvec,
+                           cbar, n_steps: int, counts_blocked=None):
+    """Spectral-correction CG in the quartered (depth-2 fast DCT)
+    layout — half the MXU FLOPs per transform."""
+    p_dims = len(ops.m)
+    quarters = ops.dct_quarters_lp
+    counts_b = (counts_blocked if counts_blocked is not None
+                else dct_ops.to_blocks4(counts, p_dims))
+    return _spectral_cg_generic(
+        b, rho, x0, matvec,
+        to_b=lambda v: dct_ops.to_blocks4(v, p_dims),
+        from_b=lambda v: dct_ops.from_blocks4(v, p_dims),
+        fwd=lambda v: dct_ops.dctn_quartered(v, quarters),
+        inv=lambda v: dct_ops.idctn_quartered(v, quarters),
+        eigs_blocks=ops.gram_eigs_quartered, cbar=cbar, n_steps=n_steps,
+        counts_b=counts_b)
 
 
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
@@ -227,18 +281,18 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # structure).  Dots are preserved by the orthonormal
             # transform, so CG scalars live on spectral vectors directly.
             #
-            # Layout choice: the BLOCKED form (ops/dct.py) removes every
-            # per-axis concatenate copy — the measured HBM wall at
-            # 2048^2/4096^2 (504.9 vs 451.7 iters/s at 2048^2) — but its
-            # 2^p half-size matmuls under-utilize the MXU when the half
-            # width drops below the 128-lane tile (128^3: halves of 64,
-            # measured 536 vs 712 iters/s), so small-axis lattices keep
-            # the packed concatenated form.
-            use_blocked = (
-                ops.gram_eigs_blocked is not None
-                and all(v // 2 >= BLOCKED_MIN_HALF for v in ops.m)
-            )
-            if use_blocked:
+            # Layout choice (spectral_layout): QUARTERED (depth-2 fast
+            # DCT, half the MXU FLOPs — the transforms measured AT the
+            # MXU roofline at 2048^2+) > BLOCKED (concat-free folds,
+            # half-width >= 128) > PACKED (small axes, where 2^p
+            # half-size matmuls under-utilize the 128-lane MXU tile:
+            # 128^3 measured 536 vs 712 iters/s blocked vs packed).
+            lay = spectral_layout(ops)
+            if lay == "quartered":
+                return _spectral_cg_quartered(
+                    ops, counts, b, rho, x0, matvec, cbar, n_steps,
+                    counts_blocked=counts_blocked)
+            if lay == "blocked":
                 return _spectral_cg_blocked(ops, counts, b, rho, x0, matvec,
                                             cbar, n_steps,
                                             counts_blocked=counts_blocked)

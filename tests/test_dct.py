@@ -209,3 +209,57 @@ class TestBlocked:
                               halves), 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(x),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestQuartered:
+    """Depth-2 fast DCT (ops/dct.py quartered section)."""
+
+    @pytest.mark.parametrize("m", [(16,), (16, 8), (8, 4, 12)])
+    def test_roundtrip_and_parity(self, m):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(*m), jnp.float32)
+        p = len(m)
+        quarters = tuple(dct.dct_quarter_mats(v, jnp.float32) for v in m)
+        blocks = dct.to_blocks4(x, p)
+        assert len(blocks) == 4 ** p
+        np.testing.assert_allclose(np.asarray(dct.from_blocks4(blocks, p)),
+                                   np.asarray(x), rtol=0, atol=0)
+        mats = dct.dct_matrices(m, jnp.float32)
+        want = np.asarray(dct.dctn_mat(x, mats))
+        got = dct.dctn_quartered(blocks, quarters)
+        # per-block frequency pattern check
+        for bits in range(4 ** p):
+            sel = []
+            bb = bits
+            digits = []
+            for j in range(p):
+                digits.append((bits // 4 ** (p - 1 - j)) % 4)
+            sel = tuple(
+                slice(dct.QUARTER_FREQ_PATTERN[d], None, 4) for d in digits)
+            np.testing.assert_allclose(np.asarray(got[bits]), want[sel],
+                                       rtol=3e-5, atol=3e-5)
+        back = dct.from_blocks4(dct.idctn_quartered(got, quarters), p)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                                   rtol=3e-5, atol=3e-5)
+
+    def test_quartered_spectrum_matches_layout(self):
+        m = (8, 16)
+        eigs = jnp.asarray(np.random.RandomState(0).rand(*m), jnp.float32)
+        blocks = dct.quartered_spectrum(eigs)
+        for bits in range(16):
+            d0, d1 = bits // 4, bits % 4
+            sel = (slice(dct.QUARTER_FREQ_PATTERN[d0], None, 4),
+                   slice(dct.QUARTER_FREQ_PATTERN[d1], None, 4))
+            np.testing.assert_array_equal(np.asarray(blocks[bits]),
+                                          np.asarray(eigs)[sel])
+
+    def test_batched(self):
+        m = (8, 16)
+        quarters = tuple(dct.dct_quarter_mats(v, jnp.float32) for v in m)
+        x = jnp.asarray(np.random.RandomState(1).randn(3, *m), jnp.float32)
+        got = dct.from_blocks4(
+            dct.idctn_quartered(
+                dct.dctn_quartered(dct.to_blocks4(x, 2), quarters),
+                quarters), 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                                   rtol=3e-5, atol=3e-5)

@@ -132,3 +132,33 @@ def test_spectral_layouts_agree(min_half, force_packed, monkeypatch):
     if len(store) == 2:
         a, b = store.values()
         assert abs(a - b) <= 2e-4 * max(abs(a), abs(b))
+
+
+def test_quartered_spectral_path_matches(force_packed, monkeypatch):
+    """The depth-2 fast-DCT (quartered) spectral CG converges to the same
+    objective as the reference f32 path (the 2048^2+/4096^2 production
+    layout, exercised here on a tiny lattice via a lowered build gate)."""
+    from multivartv_tpu.solver import problem as problem_mod
+    monkeypatch.setattr(problem_mod, "QUARTER_MIN_AXIS", 4)
+    m = (16, 24)
+    deltas = jnp.asarray((0.4, 0.9), jnp.float32)
+    problem = _problem(m)
+    lam = jnp.asarray(0.08, jnp.float32)
+    cfg = SolverConfig(chunk_iters=1, spectral_cg=True)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert ops.dct_quarters_lp is not None
+    assert xupdate.spectral_layout(ops) == "quartered"
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(m, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+    assert float(out.primal_norm) <= float(out.eps_primal)
+    assert float(out.dual_norm) <= float(out.eps_dual)
