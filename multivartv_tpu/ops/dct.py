@@ -659,6 +659,11 @@ def dctn_quartered(blocks: Tuple[jax.Array, ...], quarters,
             e1 = d1 - d2
             u = (c1b * e0 + s1b * e1).astype(md)
             vq = (altb * (s1b * e0 - c1b * e1)).astype(md)
+            # One multi-output fusion for the four fold combos: without
+            # the barrier XLA duplicates the producer chain into each
+            # dot's operand fusion, re-reading the 4 input blocks 4x
+            # (fwd measured 1.8x roofline at 4096^2 from exactly this).
+            ss, sd, u, vq = jax.lax.optimization_barrier((ss, sd, u, vq))
 
             def dot(a, t):
                 return jax.lax.dot_general(
@@ -704,6 +709,9 @@ def idctn_quartered(blocks: Tuple[jax.Array, ...], quarters,
             OOw = cur[g + 3 * stride] * wb[3]
             ce_a = OEw + _shift_axis(OOw, nb, down=True)
             se_a = OOw - _shift_axis(OEw, nb, down=False)
+            # (No optimization_barrier here: unlike the forward side, a
+            # barrier on the inverse combos MEASURED SLOWER at 2048^2 —
+            # XLA's own fusion choice wins on this side.)
 
             def dott(a, t):
                 return jax.lax.dot_general(

@@ -167,7 +167,8 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             b = problem.oty + s.rho * ops.apply_Dt(au)
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
                                cfg, use_pallas=use_pallas,
-                               counts_blocked=counts_blocked)
+                               counts_blocked=counts_blocked,
+                               tiled_ok=use_tiled)
         if use_pallas or use_tiled:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.

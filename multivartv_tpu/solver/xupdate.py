@@ -192,15 +192,29 @@ def _spectral_cg_quartered(ops: Operators, counts, b, rho, x0, matvec,
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             b: jax.Array, rho: jax.Array, x0: jax.Array,
             cfg: SolverConfig, use_pallas: bool = False,
-            counts_blocked=None) -> Tuple[jax.Array, jax.Array]:
+            counts_blocked=None,
+            tiled_ok: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (theta, cg_iters).
 
     counts_blocked: optional precomputed blocked layout of counts (loop-
     invariant — callers running solve_x inside the ADMM while_loop hoist
-    the conversion out of the body instead of paying it per iteration)."""
+    the conversion out of the body instead of paying it per iteration).
+    tiled_ok: caller attests it is NOT under vmap and the lattice passes
+    the tiled-kernel gate, so the Gram matvec may stream through the
+    row-panel Pallas kernel (unfused jnp rolls measured ~10x the
+    unavoidable traffic at 4096^2)."""
 
-    def matvec(v):
-        return counts * v + rho * ops.apply_gram(v)
+    if tiled_ok:
+        from multivartv_tpu.ops import pallas_kernels as pk
+        from multivartv_tpu.solver import admm as admm_mod
+
+        def matvec(v):
+            return pk.gram_matvec_tiled_2d(
+                v, counts, rho, ops.scales,
+                interpret=admm_mod.FORCE_FUSED_INTERPRET)
+    else:
+        def matvec(v):
+            return counts * v + rho * ops.apply_gram(v)
 
     if cfg.x_solver == "dct_direct":
         x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs, ops.dct_mats)

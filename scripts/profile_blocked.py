@@ -95,3 +95,17 @@ def full(o, st, n):
 per_s, dt, _ = _slope_time(lambda st, n: full(ops, st, n), state0, 20, 120,
                            repeats=2)
 print(f"{'full':>12}: {1e6/per_s:9.1f} us  ({per_s:.1f}/s)", flush=True)
+
+# --- round-3 additions: quartered transforms + r0 matvec -------------------
+if ops.dct_quarters_lp is not None:
+    b4 = jax.jit(lambda v: dct_ops.to_blocks4(v, p_dims))(v0)
+    timeit("transformQ", lambda v: dct_ops.idctn_quartered(
+        dct_ops.dctn_quartered(v, ops.dct_quarters_lp),
+        ops.dct_quarters_lp), b4)
+    # fwd only: spectral and M-layout blocks share shapes, so iterating
+    # fwd on its own output is shape-valid (numerically meaningless, fine
+    # for timing)
+    timeit("fwdQ-only", lambda v: dct_ops.dctn_quartered(
+        v, ops.dct_quarters_lp), b4)
+
+timeit("matvec", lambda v: counts * v + rho * ops.apply_gram(v), v0)

@@ -337,3 +337,17 @@ class TestTiledKernels:
         assert int(out.counter) == int(ref.counter)
         np.testing.assert_allclose(np.asarray(out.theta),
                                    np.asarray(ref.theta), atol=2e-4)
+
+    @pytest.mark.parametrize("tile_rows", [8, 16])
+    def test_tiled_gram_matches_jnp(self, tile_rows):
+        from multivartv_tpu.ops import diff as diff_ops
+        bins, scales, theta, _ = self._setup(seed=13)
+        counts = jnp.asarray(
+            np.random.RandomState(4).poisson(2, self.M).astype(np.float32))
+        rho = jnp.asarray(0.13, jnp.float32)
+        got = pk.gram_matvec_tiled_2d(theta, counts, rho, scales,
+                                      interpret=True, tile_rows=tile_rows)
+        want = counts * theta + rho * diff_ops.apply_gram(theta, bins,
+                                                          scales)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
