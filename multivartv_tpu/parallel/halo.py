@@ -1,9 +1,18 @@
 """Explicit lattice-sharded ADMM: shard_map + ppermute halo exchange.
 
-The jit/NamedSharding path (parallel/sharding.py) lets the XLA SPMD
-partitioner insert halo exchanges automatically.  This module is the
-manual counterpart — every collective is explicit, the way a multi-host
-deployment wants to reason about ICI traffic:
+SCOPE (honest): the PRODUCT sharded path is mvtv_sharded
+(parallel/fit.py), which relies on the XLA SPMD partitioner inserting
+every collective from NamedSharding annotations — including the
+distributed-DCT preconditioner.  This module is a single-lambda,
+p == 2 solver with every collective written out BY HAND, kept for two
+reasons: (a) collective-level validation — tests/test_halo.py pins the
+manual pattern's numerics against the auto-partitioned solver, so a
+regression in either is caught; (b) a template for manual ICI
+scheduling if SPMD-auto ever proves suboptimal on real multi-chip
+topologies.  It is reachable through sharded_admm_solve, not through
+the mvtv product API.
+
+The collective pattern it spells out:
 
   * forward/adjoint differences along sharded axes exchange one boundary
     slab with the neighbor via jax.lax.ppermute (ring, one hop),
