@@ -1077,6 +1077,24 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems):
         issue(t + 1, nxt, start=True)
 
     issue(t, cur, start=False)             # wait for tile t
+
+    # Zero the rows the edge tiles do NOT DMA: the masks downstream rely
+    # on x*0 == 0, which is FALSE for stale Inf/NaN VMEM bits — in a real
+    # program context (scratch reused across ops) this produced NaN Boyd
+    # stats at the lattice edge (caught on chip by
+    # test_tpu_live.py::test_tiled_kernels_on_chip).
+    H = HALO
+
+    @pl.when(t == 0)
+    def _():
+        for s in scr:
+            s[cur, :H, :] = jnp.zeros((H, s.shape[-1]), s.dtype)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        for s in scr:
+            s[cur, s.shape[-2] - H:, :] = jnp.zeros((H, s.shape[-1]),
+                                                    s.dtype)
     return cur
 
 
@@ -1147,6 +1165,11 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
     dtu = (s_mix * _adj0(_adj1(un0)) + s_ax1 * _adj1(un1)
            + s_ax0 * _adj0(un2))
 
+    # Per-tile PARTIAL stats, one row per grid step (summed by the
+    # wrapper): accumulating into one SMEM output block across grid steps
+    # worked in interpret mode but read garbage on real hardware (the
+    # revisited block is not guaranteed preserved for SMEM outputs) —
+    # caught by tests/test_tpu_live.py::test_tiled_kernels_on_chip.
     part = [
         (jnp.sum(r0[sl] ** 2) + jnp.sum(r1[sl] ** 2) + jnp.sum(r2[sl] ** 2)),
         (jnp.sum(dt_mix[sl] ** 2) + jnp.sum(dt_ax1[sl] ** 2)
@@ -1155,16 +1178,8 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
         jnp.sum(dtr[sl] ** 2),
         jnp.sum(dtu[sl] ** 2),
     ]
-
-    @pl.when(t == 0)
-    def _():
-        for i, v in enumerate(part):
-            stats_ref[i] = v
-
-    @pl.when(t > 0)
-    def _():
-        for i, v in enumerate(part):
-            stats_ref[i] = stats_ref[i] + v
+    for i, v in enumerate(part):
+        stats_ref[t, i] = v
 
 
 def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
@@ -1186,15 +1201,18 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
         (jnp.ones((), dtype) if u_scale is None
          else jnp.asarray(u_scale, dtype)),
     ])
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
-    smem_stat = pl.BlockSpec((5,), lambda t: (0,), memory_space=pltpu.SMEM)
+    # Whole-array SMEM output, one row per grid step (kernel 6's proven
+    # on-chip pattern; blocked SMEM outputs are rejected by Mosaic).
+    smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles),
         grid=(n_tiles,),
-        out_shape=tuple([shp] * 6) + (jax.ShapeDtypeStruct((5,), dtype),),
+        out_shape=tuple([shp] * 6) + (
+            jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
         in_specs=[any_spec] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tuple([tile_spec] * 6) + (smem_stat,),
         scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 4
@@ -1202,7 +1220,7 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
         interpret=interpret,
         compiler_params=_params(),
     )(theta, u[0], u[1], u[2], scal)
-    return outs[0:3], outs[3:6], outs[6]
+    return outs[0:3], outs[3:6], jnp.sum(outs[6], axis=0)
 
 
 def _tiled_rhs_kernel(T, m0, m1, n_tiles,
@@ -1253,7 +1271,7 @@ def rhs_tiled_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
         jnp.asarray(scales[1], dtype),
         jnp.asarray(scales[2], dtype),
     ])
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -1324,7 +1342,7 @@ def gram_matvec_tiled_2d(v: jax.Array, counts: jax.Array, rho: jax.Array,
         rho * jnp.asarray(scales[1], dtype) ** 2,
         rho * jnp.asarray(scales[2], dtype) ** 2,
     ])
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
