@@ -44,8 +44,11 @@ _VMEM_BY_KIND = (
 _DEFAULT_VMEM_MB = 96
 
 
-@functools.cache
 def _vmem_limit_bytes() -> int:
+    # Deliberately uncached (the lookup is trivial): caching on first call
+    # froze the wrong limit for the whole process when a gate predicate
+    # ran before platform selection (ADVICE r3), silently moving the
+    # one-kernel gate between 512^2 and 1024^2.
     try:
         kind = jax.devices()[0].device_kind.lower()
     except Exception:
@@ -1006,11 +1009,19 @@ def batched_supported(m: Tuple[int, ...], binaries) -> bool:
 # the lattice edge.
 # ---------------------------------------------------------------------------
 
+def _tile_target(m1: int) -> int:
+    """Ideal row-panel height for lane width m1: ~2 MB panels (the
+    kernels keep ~18 live panel temporaries plus double-buffered in/out
+    panels in VMEM), multiple of 8."""
+    return max(8, min(512, ((2 << 20) // (int(m1) * 4)) // 8 * 8))
+
+
 def _tile_rows(m: Tuple[int, int]) -> int:
-    """Row-panel height: ~2 MB panels (the kernels keep ~18 live panel
-    temporaries plus double-buffered in/out panels in VMEM), multiple of
-    8, divides m0."""
-    target = max(8, min(512, ((2 << 20) // (int(m[1]) * 4)) // 8 * 8))
+    """Row-panel height: the largest multiple of 8 <= _tile_target that
+    divides m0.  solver/pad.py::pad_target_m guarantees padded lattices
+    always have a divisor >= min(64, target), so the 8-row fallback
+    (200% halo overhead) is unreachable on the padded route."""
+    target = _tile_target(m[1])
     for t in range(target, 7, -8):
         if m[0] % t == 0:
             return t

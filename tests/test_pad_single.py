@@ -1,0 +1,193 @@
+"""The UNBATCHED padded solve route (solver/pad.py wired into admm_solve /
+admm_fixed_iterations, VERDICT r3 #4): unaligned single-problem lattices —
+the reference-default m = floor(sqrt(N)) per axis is almost never aligned
+(MultivarTV.R:44-48) — are zero-count-padded to DMA alignment so the
+one-kernel / tiled / packed fast paths serve arbitrary m, with objective
+parity and Boyd thresholds on TRUE lattice sizes.
+
+The route is exercised on the CPU harness through FORCE_XLA_PACKED (packed
+spectral x-update in plain XLA) and FORCE_FUSED_INTERPRET (fused kernels in
+interpret mode), same pattern as tests/test_xla_packed.py and
+tests/test_batch_kernel.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.ops import pallas_kernels as pk
+from multivartv_tpu.solver import admm, xupdate
+from multivartv_tpu.solver.pad import needs_padding, pad_target_m
+from multivartv_tpu.solver.problem import Problem, build_operators
+
+MU = (30, 100)   # unaligned; pads to (32, 128)
+
+
+@pytest.fixture()
+def force_packed(monkeypatch):
+    monkeypatch.setattr(xupdate, "FORCE_XLA_PACKED", True)
+
+
+def _problem(m, seed=7):
+    rng = np.random.RandomState(seed)
+    counts = jnp.asarray(rng.poisson(3, m).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+    return Problem(counts=counts, oty=oty,
+                   ybar=jnp.sum(oty) / jnp.sum(counts),
+                   flat_idx=jnp.zeros((1,), jnp.int32),
+                   y=jnp.zeros((1,), jnp.float32))
+
+
+def _objective(ops, problem, theta, lam):
+    fid, pen = admm.objective(ops, problem, theta)
+    return float(fid + lam * pen)
+
+
+def test_padded_operators_prebuilt():
+    """build_operators precomputes the aligned operator set for unaligned
+    2-D dct_pcg lattices (no per-lambda in-trace rebuild, no giant HLO
+    constants)."""
+    cfg = SolverConfig()
+    deltas = jnp.asarray([0.4, 0.6], jnp.float32)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    assert ops.padded is not None
+    assert ops.padded.m == pad_target_m(MU) == (32, 128)
+    assert ops.padded.dct_halves is not None     # even axes -> folded DCT
+    assert ops.padded.padded is None             # no recursion
+    # Aligned lattices carry no padded set.
+    ops_a = build_operators((16, 128), deltas, cfg, jnp.float32)
+    assert ops_a.padded is None
+    # Non-dct solvers skip the extra build.
+    ops_j = build_operators(MU, deltas, SolverConfig(x_solver="jacobi_pcg"),
+                            jnp.float32)
+    assert ops_j.padded is None
+
+
+def test_pad_single_gate():
+    cfg = SolverConfig()
+    deltas = jnp.asarray([0.4, 0.6], jnp.float32)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    problem = _problem(MU)
+    # CPU without force hooks: no padding (no fast path to serve).
+    assert not admm.pad_single_applies(ops, problem, cfg, batched=False)
+    try:
+        xupdate.FORCE_XLA_PACKED = True
+        assert admm.pad_single_applies(ops, problem, cfg, batched=False)
+        # Under vmap / batched drivers the batched route owns padding.
+        assert not admm.pad_single_applies(ops, problem, cfg, batched=True)
+        # theta_inf stopping scans the pad region — excluded.
+        assert not admm.pad_single_applies(
+            ops, problem,
+            SolverConfig(stop_rule="theta_inf", adapt_rho=False), False)
+    finally:
+        xupdate.FORCE_XLA_PACKED = False
+
+
+def test_padded_single_solve_objective_parity(force_packed):
+    """The padded unbatched solve converges to the same objective as the
+    unpadded exact-f32 path (transient iterates differ — the pad region
+    has its own ADMM dynamics; the optimum is provably identical,
+    solver/pad.py docstring)."""
+    deltas = jnp.asarray([0.4, 0.6], jnp.float32)
+    problem = _problem(MU)
+    lam = jnp.asarray(0.08, jnp.float32)
+    cfg = SolverConfig(chunk_iters=1)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    assert admm.pad_single_applies(ops, problem, cfg, batched=False)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    # Cropped back to the true lattice, edge-zero block convention kept.
+    assert out.theta.shape == MU
+    for a, bits in zip(out.alpha, ops.binaries):
+        mask = np.broadcast_to(np.asarray(diff_ops.edge_mask(MU, bits)), MU)
+        assert np.all(np.asarray(a)[mask == 0] == 0.0)
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(MU, deltas, ref_cfg, jnp.float32)
+        assert not admm.pad_single_applies(ref_ops, problem, ref_cfg, False)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+    assert float(out.primal_norm) <= float(out.eps_primal)
+    assert float(out.dual_norm) <= float(out.eps_dual)
+    assert int(out.counter) < cfg.max_iters
+
+
+def test_padded_single_fused_interpret(monkeypatch):
+    """With the fused kernels forced (interpret mode), the padded
+    unbatched solve runs the one-kernel chunked path on the aligned
+    lattice and still crops/converges to the parity objective."""
+    monkeypatch.setattr(admm, "FORCE_FUSED_INTERPRET", True)
+    deltas = jnp.asarray([0.4, 0.6], jnp.float32)
+    problem = _problem(MU)
+    lam = jnp.asarray(0.08, jnp.float32)
+    cfg = SolverConfig(cg_fixed_iters=3)      # chunk auto (=4)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    assert out.theta.shape == MU
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(admm, "FORCE_FUSED_INTERPRET", False)
+        ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
+        ref_ops = build_operators(MU, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj = _objective(ops, problem, out.theta, float(lam))
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+
+
+def test_padded_fixed_iterations_shapes(force_packed):
+    """admm_fixed_iterations routes through the same pad/crop."""
+    deltas = jnp.asarray([0.4, 0.6], jnp.float32)
+    problem = _problem(MU)
+    cfg = SolverConfig(chunk_iters=1)
+    ops = build_operators(MU, deltas, cfg, jnp.float32)
+    lam = jnp.asarray(0.08, jnp.float32)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_fixed_iterations(ops, problem, lam, s0, cfg, 6)
+    assert out.theta.shape == MU
+    assert int(out.counter) == 6
+    assert np.all(np.isfinite(np.asarray(out.theta)))
+
+
+@pytest.mark.parametrize("m0", [1000, 2056, 3000, 5000, 8200])
+def test_tile_divisor_never_cliffs(m0):
+    """pad_target_m guarantees the tiled row-panel kernels a panel height
+    >= min(64, target) — the 8-row fallback (200% halo overhead,
+    VERDICT r3 weak #5) is unreachable via the padded route."""
+    mp = pad_target_m((m0, m0))
+    assert mp[0] % 8 == 0 and mp[1] % 128 == 0
+    t = pk._tile_rows(mp)
+    assert t >= min(64, pk._tile_target(mp[1]))
+    # Padding stays cheap: at most 56 extra rows over plain alignment.
+    assert mp[0] - (-(-m0 // 8) * 8) <= 56
+
+
+def test_unaligned_1000sq_hits_fast_gates(force_packed):
+    """The m = floor(sqrt(10^6)) production shape: padding qualifies it
+    for every large-lattice fast gate."""
+    m = (1000, 1000)
+    cfg = SolverConfig()
+    deltas = jnp.asarray([2e-3, 2e-3], jnp.float32)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    problem = Problem(counts=jnp.ones(m, jnp.float32),
+                      oty=jnp.zeros(m, jnp.float32),
+                      ybar=jnp.zeros((), jnp.float32),
+                      flat_idx=jnp.zeros((1,), jnp.int32),
+                      y=jnp.zeros((1,), jnp.float32))
+    assert needs_padding(m)
+    assert admm.pad_single_applies(ops, problem, cfg, batched=False)
+    mp = ops.padded.m
+    assert mp == (1000, 1024)
+    # On hardware the padded lattice takes the one-kernel x-update at the
+    # 4 MB gate, the tiled kernels otherwise; both gates now pass.
+    assert pk.tiled_supported(mp, ops.binaries)
+    assert ops.padded.dct_halves is not None
+    assert xupdate._xla_packed_applies(ops.padded, cfg)

@@ -109,39 +109,47 @@ def test_packed_gate_requires_halves():
     assert not xupdate._xla_packed_applies(ops, cfg)
 
 
-@pytest.mark.parametrize("min_half", [1, 10**9])
-def test_spectral_layouts_agree(min_half, force_packed, monkeypatch):
+def test_spectral_layouts_agree(force_packed, monkeypatch):
     """Blocked and packed spectral-CG layouts are the same algorithm in
-    different memory layouts: same converged objective."""
+    different memory layouts: same converged objective.  Both layouts run
+    inside this ONE test so the parity assertion always executes (the
+    former two-param version only compared when both params happened to
+    run in the same process, ADVICE r3)."""
     m = (16, 24)
     deltas = jnp.asarray((0.4, 0.9), jnp.float32)
     problem = _problem(m)
     lam = jnp.asarray(0.08, jnp.float32)
-    monkeypatch.setattr(xupdate, "BLOCKED_MIN_HALF", min_half)
-    cfg = SolverConfig(chunk_iters=1, spectral_cg=True)
-    ops = build_operators(m, deltas, cfg, jnp.float32)
-    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
-    out = admm.admm_solve(ops, problem, lam, s0, cfg)
-    obj = _objective(ops, problem, out.theta, float(lam))
-    assert np.isfinite(obj)
-    assert float(out.primal_norm) <= float(out.eps_primal)
-    # cross-layout objective parity (stashed on the test class)
-    key = "spectral_obj"
-    store = test_spectral_layouts_agree.__dict__.setdefault("objs", {})
-    store[min_half] = obj
-    if len(store) == 2:
-        a, b = store.values()
-        assert abs(a - b) <= 2e-4 * max(abs(a), abs(b))
+    objs = {}
+    for min_half in (1, 10**9):   # 1 -> blocked layout; huge -> packed
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(xupdate, "BLOCKED_MIN_HALF", min_half)
+            cfg = SolverConfig(chunk_iters=1, spectral_cg=True)
+            ops = build_operators(m, deltas, cfg, jnp.float32)
+            expect = "blocked" if min_half == 1 else "packed"
+            assert xupdate.spectral_layout(ops) == expect
+            s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+            out = admm.admm_solve(ops, problem, lam, s0, cfg)
+            obj = _objective(ops, problem, out.theta, float(lam))
+            assert np.isfinite(obj)
+            assert float(out.primal_norm) <= float(out.eps_primal)
+            objs[min_half] = obj
+    a, b = objs.values()
+    assert abs(a - b) <= 2e-4 * max(abs(a), abs(b))
 
 
-def test_quartered_spectral_path_matches(force_packed, monkeypatch):
+@pytest.mark.parametrize("m,deltas", [
+    ((16, 24), (0.4, 0.9)),
+    ((8, 12, 16), (0.5, 0.8, 1.2)),  # 3-D reaches quartered too (r4)
+])
+def test_quartered_spectral_path_matches(m, deltas, force_packed,
+                                         monkeypatch):
     """The depth-2 fast-DCT (quartered) spectral CG converges to the same
-    objective as the reference f32 path (the 2048^2+/4096^2 production
-    layout, exercised here on a tiny lattice via a lowered build gate)."""
+    objective as the reference f32 path (the 2048^2+/4096^2 — and with
+    the quarter-width gate, 512^3 — production layout, exercised here on
+    tiny lattices via a lowered build gate)."""
     from multivartv_tpu.solver import problem as problem_mod
     monkeypatch.setattr(problem_mod, "QUARTER_MIN_AXIS", 4)
-    m = (16, 24)
-    deltas = jnp.asarray((0.4, 0.9), jnp.float32)
+    deltas = jnp.asarray(deltas, jnp.float32)
     problem = _problem(m)
     lam = jnp.asarray(0.08, jnp.float32)
     cfg = SolverConfig(chunk_iters=1, spectral_cg=True)
@@ -162,3 +170,29 @@ def test_quartered_spectral_path_matches(force_packed, monkeypatch):
     assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
     assert float(out.primal_norm) <= float(out.eps_primal)
     assert float(out.dual_norm) <= float(out.eps_dual)
+
+
+def test_blocked_layout_3d_matches(force_packed, monkeypatch):
+    """The concat-free blocked spectral CG in THREE dimensions (the 256^3
+    production layout: halves exactly 128 lanes) converges to the
+    reference-path objective.  Exercised via a lowered BLOCKED_MIN_HALF."""
+    m = (8, 12, 10)
+    deltas = jnp.asarray((0.5, 0.8, 1.2), jnp.float32)
+    problem = _problem(m)
+    lam = jnp.asarray(0.08, jnp.float32)
+    monkeypatch.setattr(xupdate, "BLOCKED_MIN_HALF", 1)
+    cfg = SolverConfig(chunk_iters=1, spectral_cg=True)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert xupdate.spectral_layout(ops) == "blocked"
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(m, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
