@@ -63,6 +63,18 @@ class SolverConfig:
     # where the iteration is bandwidth-bound.  Only used where xla_packed
     # applies.
     spectral_cg: bool = True
+    # Store the spectral-correction CG's block vectors (r, p, x-hat) in
+    # bfloat16 (dot products still accumulate in float32; the initial
+    # residual r0 stays exact f32 in the natural domain).  Halves the
+    # elementwise HBM traffic of the CG loop — the measured wall at
+    # 4096^2+ (docs/MATH.md 5; measured +20% at 4096^2, objective gap
+    # 1.4e-7 vs f32 at Boyd convergence).  The iterative-refinement
+    # structure keeps the storage error scaling with ||dx||, which
+    # shrinks as ADMM converges, so Boyd residuals keep their f32 floor.
+    # None = auto: on for lattices > 2^23 knots (bandwidth-bound regime;
+    # at 2048^2 and below the extra converts measured slightly SLOWER),
+    # off below.  Only used where spectral_cg runs.
+    spectral_vec_bf16: Optional[bool] = None
     # Convergence-check cadence for the fused multi-iteration kernel: run
     # this many ADMM iterations per kernel launch between Boyd stopping
     # checks (state stays VMEM-resident in between).  1 = check every

@@ -1336,6 +1336,71 @@ def _tiled_gram_kernel(T, m0, m1, n_tiles,
     out_ref[:] = counts_ref[:] * v[H:T + H] + acc[H:T + H]
 
 
+def _tiled_gram_res_kernel(T, m0, m1, n_tiles,
+                           v_hbm, counts_ref, b_ref, scal_ref, out_ref,
+                           v_s, sems):
+    """r0 = b - (counts + rho D'D) v on row panels — the gram matvec of
+    _tiled_gram_kernel with the spectral-correction CG's initial-residual
+    subtraction fused in (saves a separate read-Av/read-b/write-r0 XLA
+    pass per ADMM iteration)."""
+    t = pl.program_id(0)
+    dtype = counts_ref.dtype
+    rho_smix = scal_ref[0]
+    rho_sax1 = scal_ref[1]
+    rho_sax0 = scal_ref[2]
+
+    cur = _halo_pingpong(t, n_tiles, T, [v_hbm], [v_s], sems)
+    v = v_s[cur]
+
+    H = HALO
+    R = T + 2 * H
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 1)
+    mask0 = jnp.logical_and(g < m0 - 1, g >= 0).astype(dtype)
+    mask1 = (col < m1 - 1).astype(dtype)
+    valid = (g >= 0).astype(dtype)
+
+    d1 = _fwd1(v, mask1) * valid
+    d0 = (_shift_down(v, 0) - v) * mask0
+    dm = _fwd1(d0, mask1)
+    acc = (rho_sax1 * _adj1(d1) + rho_sax0 * _adj0(d0)
+           + rho_smix * _adj0(_adj1(dm)))
+    out_ref[:] = b_ref[:] - (counts_ref[:] * v[H:T + H] + acc[H:T + H])
+
+
+def gram_residual_tiled_2d(b: jax.Array, v: jax.Array, counts: jax.Array,
+                           rho: jax.Array, scales: Tuple[jax.Array, ...],
+                           interpret: bool = False,
+                           tile_rows: int | None = None) -> jax.Array:
+    """r0 = b - (counts + rho D'D) v, one streamed pass."""
+    m = tuple(int(s) for s in v.shape)
+    dtype = v.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    rho = jnp.asarray(rho, dtype)
+    scal = jnp.stack([
+        rho * jnp.asarray(scales[0], dtype) ** 2,
+        rho * jnp.asarray(scales[1], dtype) ** 2,
+        rho * jnp.asarray(scales[2], dtype) ** 2,
+    ])
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled_gram_res_kernel, T, m[0], m[1], n_tiles),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(m, dtype),
+        in_specs=[any_spec, tile_spec, tile_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)]
+        + [pltpu.SemaphoreType.DMA((2, 1))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(v, counts, b, scal)
+    return out
+
+
 def gram_matvec_tiled_2d(v: jax.Array, counts: jax.Array, rho: jax.Array,
                          scales: Tuple[jax.Array, ...],
                          interpret: bool = False,

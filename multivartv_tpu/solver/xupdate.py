@@ -67,19 +67,18 @@ def _spectral_cg_packed(ops: Operators, counts, b, rho, x0, matvec,
     eps = jnp.asarray(1e-30, b.dtype)
     rl = rho * eigs_packed
     rh = fwd(b - matvec(x0))
-    zh = rh / w
-    p = zh
-    rz = jnp.sum(rh * zh)
+    p = rh / w
+    rz = jnp.sum(rh * rh / w)
     xh = jnp.zeros_like(rh)
-    for _ in range(n_steps):
+    for step in range(n_steps):
         ap = fwd(counts * inv(p)) + rl * p
         alpha_cg = rz / jnp.maximum(jnp.sum(p * ap), eps)
         xh = xh + alpha_cg * p
         rh = rh - alpha_cg * ap
-        zh = rh / w
-        rz_new = jnp.sum(rh * zh)
-        beta = rz_new / jnp.maximum(rz, eps)
-        p = zh + beta * p
+        rz_new = jnp.sum(rh * rh / w)
+        if step + 1 < n_steps:
+            beta = rz_new / jnp.maximum(rz, eps)
+            p = rh / w + beta * p
         rz = rz_new
     x = x0 + inv(xh)
     return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
@@ -115,47 +114,73 @@ def counts_to_layout(ops: Operators, counts):
 
 
 def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
-                         eigs_blocks, cbar, n_steps: int, counts_b):
+                         eigs_blocks, cbar, n_steps: int, counts_b,
+                         vec_dtype=None, residual=None):
     """Fixed-step spectral-correction CG over tuple-of-blocks layouts.
 
     The mechanical core shared by the blocked (2^p halves) and quartered
     (4^p, depth-2 fast DCT) layouts: bf16 MXU transforms, f32 weights and
     CG vectors, dots = sums of blockwise dots (the layouts are
-    reindexings of the orthonormal coefficients)."""
+    reindexings of the orthonormal coefficients).
+
+    Structured for XLA fusion at the HBM roofline (docs/MATH.md 5): the
+    preconditioned residual z = r/w is never materialized — r'z is
+    reduced directly from r^2/w (fuses into the r-update pass) and the
+    direction update recomputes r/w in place (fuses into one
+    read-{r,w,p} write-{p} pass) — and the final step skips the dead
+    direction update entirely.  Identical arithmetic to the textbook
+    form, two fewer lattice passes per step."""
     from multivartv_tpu.solver.cg import _poison_if_nonfinite
-    eps = jnp.asarray(1e-30, b.dtype)
+    f32 = jnp.float32
+    eps = jnp.asarray(1e-30, f32)
+    vd = b.dtype if vec_dtype is None else vec_dtype
 
     def bmap(f, *ts):
         return tuple(f(*xs) for xs in zip(*ts))
 
     def bdot(a, c):
-        return sum(jnp.sum(x * y) for x, y in zip(a, c))
+        # f32 accumulation regardless of vector storage dtype.
+        return sum(jnp.sum(x.astype(f32) * y.astype(f32))
+                   for x, y in zip(a, c))
 
-    w = bmap(lambda e: cbar + rho * e, eigs_blocks)
-    rl = bmap(lambda e: rho * e, eigs_blocks)
+    def wdot(a):
+        # sum(a^2 / w) in f32 (the preconditioned residual norm r'z,
+        # reduced without materializing z).
+        return sum(jnp.sum(jnp.square(x.astype(f32))
+                           / (cbar + rho * e.astype(f32)))
+                   for x, e in zip(a, eigs_blocks))
 
-    rh = fwd(to_b(b - matvec(x0)))
-    zh = bmap(lambda r, ww: r / ww, rh, w)
-    p = zh
-    rz = bdot(rh, zh)
+    r0 = residual(b, x0) if residual is not None else b - matvec(x0)
+    rh = fwd(bmap(lambda v: v.astype(vd), to_b(r0)))
+    p = bmap(lambda r, e: (r.astype(f32)
+                           / (cbar + rho * e)).astype(vd), rh, eigs_blocks)
+    rz = wdot(rh)
     xh = bmap(jnp.zeros_like, rh)
-    for _ in range(n_steps):
-        ap = bmap(lambda f, l, pp: f + l * pp,
-                  fwd(bmap(lambda c, v: c * v, counts_b, inv(p))), rl, p)
+    for step in range(n_steps):
+        ap = bmap(lambda f, e, pp: (f.astype(f32) + rho * e
+                                    * pp.astype(f32)).astype(vd),
+                  fwd(bmap(lambda c, v: (c * v.astype(c.dtype)).astype(vd),
+                           counts_b, inv(p))),
+                  eigs_blocks, p)
         alpha_cg = rz / jnp.maximum(bdot(p, ap), eps)
-        xh = bmap(lambda x_, pp: x_ + alpha_cg * pp, xh, p)
-        rh = bmap(lambda r, a: r - alpha_cg * a, rh, ap)
-        zh = bmap(lambda r, ww: r / ww, rh, w)
-        rz_new = bdot(rh, zh)
-        beta = rz_new / jnp.maximum(rz, eps)
-        p = bmap(lambda z, pp: z + beta * pp, zh, p)
+        xh = bmap(lambda x_, pp: (x_.astype(f32) + alpha_cg
+                                  * pp.astype(f32)).astype(vd), xh, p)
+        rh = bmap(lambda r, a: (r.astype(f32) - alpha_cg
+                                * a.astype(f32)).astype(vd), rh, ap)
+        rz_new = wdot(rh)
+        if step + 1 < n_steps:
+            beta = rz_new / jnp.maximum(rz, eps)
+            p = bmap(lambda r, e, pp: (r.astype(f32) / (cbar + rho * e)
+                                       + beta * pp.astype(f32)).astype(vd),
+                     rh, eigs_blocks, p)
         rz = rz_new
-    x = x0 + from_b(inv(xh))
+    x = x0 + from_b(inv(xh)).astype(x0.dtype)
     return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
 
 
 def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
-                         cbar, n_steps: int, counts_blocked=None):
+                         cbar, n_steps: int, counts_blocked=None,
+                         vec_dtype=None, residual=None):
     """Spectral-correction CG in the blocked (2^p halves) layout."""
     p_dims = len(ops.m)
     halves = ops.dct_halves_lp or ops.dct_halves
@@ -168,11 +193,12 @@ def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
         fwd=lambda v: dct_ops.dctn_blocked(v, halves),
         inv=lambda v: dct_ops.idctn_blocked(v, halves),
         eigs_blocks=ops.gram_eigs_blocked, cbar=cbar, n_steps=n_steps,
-        counts_b=counts_b)
+        counts_b=counts_b, vec_dtype=vec_dtype, residual=residual)
 
 
 def _spectral_cg_quartered(ops: Operators, counts, b, rho, x0, matvec,
-                           cbar, n_steps: int, counts_blocked=None):
+                           cbar, n_steps: int, counts_blocked=None,
+                           vec_dtype=None, residual=None):
     """Spectral-correction CG in the quartered (depth-2 fast DCT)
     layout — half the MXU FLOPs per transform."""
     p_dims = len(ops.m)
@@ -186,7 +212,7 @@ def _spectral_cg_quartered(ops: Operators, counts, b, rho, x0, matvec,
         fwd=lambda v: dct_ops.dctn_quartered(v, quarters),
         inv=lambda v: dct_ops.idctn_quartered(v, quarters),
         eigs_blocks=ops.gram_eigs_quartered, cbar=cbar, n_steps=n_steps,
-        counts_b=counts_b)
+        counts_b=counts_b, vec_dtype=vec_dtype, residual=residual)
 
 
 def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
@@ -212,9 +238,18 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             return pk.gram_matvec_tiled_2d(
                 v, counts, rho, ops.scales,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
+
+        def residual(bb, v):
+            # r0 = b - A v with the subtraction fused into the streamed
+            # gram kernel (one pass instead of matvec + subtract).
+            return pk.gram_residual_tiled_2d(
+                bb, v, counts, rho, ops.scales,
+                interpret=admm_mod.FORCE_FUSED_INTERPRET)
     else:
         def matvec(v):
             return counts * v + rho * ops.apply_gram(v)
+
+        residual = None
 
     if cfg.x_solver == "dct_direct":
         x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs, ops.dct_mats)
@@ -302,14 +337,20 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # half-size matmuls under-utilize the 128-lane MXU tile:
             # 128^3 measured 536 vs 712 iters/s blocked vs packed).
             lay = spectral_layout(ops)
+            use_bf16 = (cfg.spectral_vec_bf16 if cfg.spectral_vec_bf16
+                        is not None else ops.ntheta > (1 << 23))
+            vd = jnp.bfloat16 if use_bf16 else None
             if lay == "quartered":
                 return _spectral_cg_quartered(
                     ops, counts, b, rho, x0, matvec, cbar, n_steps,
-                    counts_blocked=counts_blocked)
+                    counts_blocked=counts_blocked, vec_dtype=vd,
+                    residual=residual)
             if lay == "blocked":
                 return _spectral_cg_blocked(ops, counts, b, rho, x0, matvec,
                                             cbar, n_steps,
-                                            counts_blocked=counts_blocked)
+                                            counts_blocked=counts_blocked,
+                                            vec_dtype=vd,
+                                            residual=residual)
             return _spectral_cg_packed(ops, counts, b, rho, x0, matvec,
                                        w, eigs_packed, fwd, inv, n_steps)
 

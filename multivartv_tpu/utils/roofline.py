@@ -83,9 +83,10 @@ class Stage:
     writes: float   # lattice-array writes
     flops_per_knot: float = 0.0   # MXU flops per lattice element
     note: str = ""
+    elem_bytes: int = 4   # 2 where the CG vectors are stored bf16
 
-    def bytes_(self, ntheta: int, elem_bytes: int = 4) -> float:
-        return (self.reads + self.writes) * ntheta * elem_bytes
+    def bytes_(self, ntheta: int) -> float:
+        return (self.reads + self.writes) * ntheta * self.elem_bytes
 
     def flops(self, ntheta: int) -> float:
         return self.flops_per_knot * ntheta
@@ -103,7 +104,8 @@ def _transform_flops_per_knot(m: Tuple[int, ...], layout: str) -> float:
 
 def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
                      layout: str = "quartered",
-                     tiled: bool = True) -> Tuple[Stage, ...]:
+                     tiled: bool = True,
+                     vec_bf16: Optional[bool] = None) -> Tuple[Stage, ...]:
     """Per-stage traffic/FLOP model of one large-lattice ADMM iteration.
 
     Mirrors make_admm_iteration (solver/admm.py) + _spectral_cg_generic
@@ -111,7 +113,16 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
     lattice-sized arrays (ntheta elements each).  The difference-block
     arrays are padded to full lattice shape (ops/diff.py), so every
     block counts 1.0.
+
+    vec_bf16: CG block vectors stored bfloat16 (SolverConfig
+    spectral_vec_bf16; None = the production auto rule, ntheta > 2^23) —
+    the CG-domain stages then move 2-byte elements (approximation: the
+    f32 counts/eigenvalue operands inside those stages are counted at 2
+    bytes too, a few percent of the total).
     """
+    if vec_bf16 is None:
+        vec_bf16 = int(np.prod(m)) > (1 << 23)
+    vb = 2 if vec_bf16 else 4
     tf = _transform_flops_per_knot(m, layout)
     stages = [
         # b = oty + rho D'(alpha + u_scale u): 3 alpha + 3 u + oty -> b
@@ -122,36 +133,41 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
         Stage("cg.r0", reads=2 + 2, writes=1 + 1,
               note="tiled gram matvec kernel + fused subtract pass"),
         # layout conversion natural -> blocks (one copy each way around
-        # the whole x-update)
-        Stage("cg.to_blocks", reads=1, writes=1),
-        # initial rh = fwd(r0_blocks); zh/p/rz fuse into the transform
-        # output pass
+        # the whole x-update); reads f32, writes vector dtype
+        Stage("cg.to_blocks", reads=1, writes=1, elem_bytes=(4 + vb) // 2),
+        # initial rh = fwd(r0_blocks)
         Stage("cg.fwd0", reads=1, writes=1, flops_per_knot=tf,
-              note="quartered DCT (bf16 MXU matmuls)"),
-        Stage("cg.init_z", reads=2, writes=2,
-              note="zh = rh/w; p = zh; rz dot"),
+              elem_bytes=vb, note="quartered DCT (bf16 MXU matmuls)"),
+        Stage("cg.init_z", reads=2, writes=1, elem_bytes=vb,
+              note="p = r/w; rz = sum(r^2/w) (z never materialized)"),
     ]
     # Each CG step: inv(p) [transform], counts*(.) , fwd(.) [transform],
-    # ap = . + rl p ; dot(p, ap); xh/rh updates; zh = rh/w; rz dot; p
-    # update.  Elementwise chains between the dots fuse to ~4 passes.
+    # ap = . + rl p ; dot(p, ap); xh/rh updates + rz reduce; p update
+    # (skipped on the last step — dead value).
     per_step = [
-        Stage("cg.step.inv", reads=1, writes=1, flops_per_knot=tf),
-        Stage("cg.step.cmul", reads=2, writes=1, note="counts_b * inv(p)"),
-        Stage("cg.step.fwd", reads=1, writes=1, flops_per_knot=tf),
-        Stage("cg.step.ap", reads=3, writes=1,
+        Stage("cg.step.inv", reads=1, writes=1, flops_per_knot=tf,
+              elem_bytes=vb),
+        Stage("cg.step.cmul", reads=2, writes=1, elem_bytes=(4 + vb) // 2,
+              note="counts_b * inv(p)"),
+        Stage("cg.step.fwd", reads=1, writes=1, flops_per_knot=tf,
+              elem_bytes=vb),
+        Stage("cg.step.ap", reads=3, writes=1, elem_bytes=vb,
               note="ap = fwd + rl*p; dot(p, ap)"),
-        Stage("cg.step.xh_rh", reads=4, writes=2,
-              note="xh += a p; rh -= a ap"),
-        Stage("cg.step.z_p", reads=3, writes=2,
-              note="zh = rh/w; rz dot; p = zh + b p"),
+        Stage("cg.step.xh_rh", reads=4, writes=2, elem_bytes=vb,
+              note="xh += a p; rh -= a ap; rz = sum(rh^2/w)"),
+        Stage("cg.step.p", reads=3, writes=1, elem_bytes=vb,
+              note="p = rh/w + b p (skipped on last step)"),
     ]
     for s in range(n_steps):
+        sel = per_step if s + 1 < n_steps else per_step[:-1]
         stages += [dataclasses.replace(st, name=f"{st.name}[{s}]")
-                   for st in per_step]
+                   for st in sel]
     stages += [
-        Stage("cg.inv_final", reads=1, writes=1, flops_per_knot=tf),
-        Stage("cg.from_blocks", reads=1, writes=1),
-        Stage("cg.apply_dx", reads=2, writes=1, note="x = x0 + dx"),
+        Stage("cg.inv_final", reads=1, writes=1, flops_per_knot=tf,
+              elem_bytes=vb),
+        Stage("cg.from_blocks", reads=1, writes=1, elem_bytes=vb),
+        Stage("cg.apply_dx", reads=2, writes=1, elem_bytes=(4 + vb) // 2,
+              note="x = x0 + dx"),
         # Dual stage: theta + 3 u -> 3 alpha + 3 u + Boyd stats
         Stage("dual", reads=4, writes=6,
               note="tiled dual kernel (one pass, stats in-kernel)" if tiled
@@ -161,10 +177,14 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
 
 
 def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
-                 layout: str = "quartered") -> Tuple[Stage, ...]:
+                 layout: str = "quartered",
+                 vec_bf16: Optional[bool] = None) -> Tuple[Stage, ...]:
     """The unavoidable-traffic floor: every inter-stage lattice array
     crosses HBM once per direction; all elementwise work perfectly fused
     into producers/consumers; transforms read+write once each."""
+    if vec_bf16 is None:
+        vec_bf16 = int(np.prod(m)) > (1 << 23)
+    vb = 2 if vec_bf16 else 4
     tf = _transform_flops_per_knot(m, layout)
     n_tf = 2 + 2 * n_steps   # fwd0, per-step inv+fwd, final inv
     return (
@@ -172,9 +192,10 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
         Stage("cg.r0", reads=3, writes=1,
               note="b, x0, counts -> r0 (gram matvec fused with subtract)"),
         Stage("transforms", reads=float(n_tf), writes=float(n_tf),
-              flops_per_knot=tf * n_tf,
+              flops_per_knot=tf * n_tf, elem_bytes=vb,
               note="layout conversions fused into first/last transform"),
         Stage("cg.elementwise", reads=2.0 * n_steps, writes=1.0 * n_steps,
+              elem_bytes=vb,
               note="one fused pass per CG step between transforms"),
         Stage("cg.apply_dx", reads=2, writes=1),
         Stage("dual", reads=4, writes=6),
@@ -184,7 +205,8 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
 def model_report(m: Tuple[int, ...], n_steps: int = 3,
                  layout: str = "quartered",
                  kind: Optional[str] = None,
-                 measured_iters_per_s: Optional[float] = None) -> Dict:
+                 measured_iters_per_s: Optional[float] = None,
+                 vec_bf16: Optional[bool] = None) -> Dict:
     """Roofline summary for one iteration at lattice m.
 
     Returns model/floor bytes+flops, bound iteration rates on the current
@@ -201,12 +223,16 @@ def model_report(m: Tuple[int, ...], n_steps: int = 3,
                 for s in stages)
         return byt, flp, t
 
-    mb, mf, mt = tally(iteration_stages(m, n_steps, layout))
-    fb, ff, ft = tally(floor_stages(m, n_steps, layout))
+    mb, mf, mt = tally(iteration_stages(m, n_steps, layout,
+                                        vec_bf16=vec_bf16))
+    fb, ff, ft = tally(floor_stages(m, n_steps, layout, vec_bf16=vec_bf16))
+    if vec_bf16 is None:
+        vec_bf16 = ntheta > (1 << 23)
     rep = {
         "m": list(m),
         "layout": layout,
         "cg_steps": n_steps,
+        "vec_bf16": bool(vec_bf16),
         "peak_gbps": bw,
         "peak_bf16_tflops": tflops,
         "model_gb_per_iter": round(mb / 1e9, 4),

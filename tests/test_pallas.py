@@ -351,3 +351,20 @@ class TestTiledKernels:
                                                           scales)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-5)
+
+    @pytest.mark.parametrize("tile_rows", [8, 16])
+    def test_tiled_gram_residual_matches_jnp(self, tile_rows):
+        """r0 = b - A v with the subtraction fused in-kernel (r4)."""
+        from multivartv_tpu.ops import diff as diff_ops
+        bins, scales, theta, _ = self._setup(seed=17)
+        rng = np.random.RandomState(5)
+        counts = jnp.asarray(rng.poisson(2, self.M).astype(np.float32))
+        b = jnp.asarray(rng.randn(*self.M).astype(np.float32))
+        rho = jnp.asarray(0.13, jnp.float32)
+        got = pk.gram_residual_tiled_2d(b, theta, counts, rho, scales,
+                                        interpret=True,
+                                        tile_rows=tile_rows)
+        want = b - (counts * theta
+                    + rho * diff_ops.apply_gram(theta, bins, scales))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)

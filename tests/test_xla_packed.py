@@ -172,6 +172,38 @@ def test_quartered_spectral_path_matches(m, deltas, force_packed,
     assert float(out.dual_norm) <= float(out.eps_dual)
 
 
+def test_spectral_vec_bf16_objective_parity(force_packed, monkeypatch):
+    """spectral_vec_bf16=True (bf16 CG block vectors, f32 dots + exact
+    f32 r0) must Boyd-converge to the f32 path's objective — the
+    iterative-refinement structure keeps storage error scaling with
+    ||dx||, not ||x||."""
+    from multivartv_tpu.solver import problem as problem_mod
+    monkeypatch.setattr(problem_mod, "QUARTER_MIN_AXIS", 4)
+    m = (16, 24)
+    deltas = jnp.asarray((0.4, 0.9), jnp.float32)
+    problem = _problem(m)
+    lam = jnp.asarray(0.08, jnp.float32)
+    cfg = SolverConfig(chunk_iters=1, spectral_cg=True,
+                       spectral_vec_bf16=True)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert xupdate.spectral_layout(ops) == "quartered"
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    assert int(out.counter) < cfg.max_iters   # no hover-to-cap
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(m, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+    assert float(out.primal_norm) <= float(out.eps_primal)
+    assert float(out.dual_norm) <= float(out.eps_dual)
+
+
 def test_blocked_layout_3d_matches(force_packed, monkeypatch):
     """The concat-free blocked spectral CG in THREE dimensions (the 256^3
     production layout: halves exactly 128 lanes) converges to the
