@@ -1043,13 +1043,14 @@ def tiled_supported(m: Tuple[int, ...], binaries) -> bool:
 HALO = 8
 
 
-def _halo_copies(tt, n_tiles, T, src, dst, sem):
+def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None):
     """(predicate, async_copy) branch set loading tile tt's extended
-    panel — rows [tt*T - HALO, tt*T + T + HALO) clamped at the lattice
+    panel — rows [tt*T - H, tt*T + T + H) clamped at the lattice
     edge (edge halo rows keep stale scratch data; callers mask them).
-    pl.multiple_of: T is a multiple of 8 and HALO == 8, so every start is
-    8-aligned — the hint lets Mosaic prove the sublane tiling."""
-    H = HALO
+    pl.multiple_of: T and H are multiples of 8 (H defaults to HALO == 8;
+    the 3-D kernels pass H = m1 + 8), so every start is 8-aligned — the
+    hint lets Mosaic prove the sublane tiling."""
+    H = HALO if H is None else H
     lo = pl.multiple_of(tt * T - H, 8)
     return [
         (jnp.logical_and(tt > 0, tt < n_tiles - 1),
@@ -1063,18 +1064,20 @@ def _halo_copies(tt, n_tiles, T, src, dst, sem):
     ]
 
 
-def _halo_pingpong(t, n_tiles, T, ins, scr, sems):
+def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None):
     """Double-buffered halo loads: start tile 0 at step 0, prefetch tile
     t+1 into the other buffer, then wait for tile t's copies.  scr[i] has
     a leading buffer axis of 2; sems has shape (2, len(ins)).  Returns
-    the current-buffer index (traced)."""
+    the current-buffer index (traced).  H: halo rows per side (default
+    HALO; the 3-D flattened-rows kernels pass m1 + 8)."""
+    H = HALO if H is None else H
     cur = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
 
     def issue(tt, buf, start):
         for i, (r, s) in enumerate(zip(ins, scr)):
             for pred, cp in _halo_copies(tt, n_tiles, T, r, s.at[buf],
-                                         sems.at[buf, i]):
+                                         sems.at[buf, i], H=H):
                 @pl.when(pred)
                 def _(cp=cp):
                     cp.start() if start else cp.wait()
@@ -1094,7 +1097,6 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems):
     # program context (scratch reused across ops) this produced NaN Boyd
     # stats at the lattice edge (caught on chip by
     # test_tpu_live.py::test_tiled_kernels_on_chip).
-    H = HALO
 
     @pl.when(t == 0)
     def _():
@@ -1434,3 +1436,287 @@ def gram_matvec_tiled_2d(v: jax.Array, counts: jax.Array, rho: jax.Array,
         compiler_params=_params(),
     )(v, counts, scal)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kernels 10/11: TILED 3-D dual stage + Gram residual (flattened rows).
+#
+# p = 3 has 2^3 - 1 = 7 difference blocks and no whole-lattice kernels, so
+# through round 3 the dual stage ran as ~10 ms of separate jnp stencil,
+# elementwise and reduction passes at 256^3 (the jnp rhs adjoint measured
+# near-optimal and KEEPS running in XLA — only the stages XLA cannot fuse
+# get kernels).  Design: view the (m0, m1, m2) lattice as a 2-D
+# (m0*m1, m2) row-matrix — the axis-2 stencil is a lane shift, axis 1 a
+# 1-row shift, axis 0 an m1-row shift — and stream row panels with an
+# (m1 + 8)-row halo through the same ping-pong DMA machinery as kernels
+# 7-9.  Row starts stay 8-sublane-aligned because T and m1 + 8 are
+# multiples of 8.  Chained shifts wrap across slab boundaries exactly
+# onto positions the combined edge mask zeroes (the padded-block
+# convention, ops/diff.py::apply_block).
+# ---------------------------------------------------------------------------
+
+
+def _row_shift_down(x, k):
+    """out[r] = x[r + k] (circular in the panel)."""
+    return pltpu.roll(x, x.shape[0] - k, 0)
+
+
+def _row_shift_up(x, k):
+    """out[r] = x[r - k] (circular in the panel)."""
+    return pltpu.roll(x, k, 0)
+
+
+def _fchain3(x, b, m1, masks):
+    """Forward-difference chain for binary b on a flat panel, one
+    combined edge mask (apply_block semantics)."""
+    out = x
+    if b[0]:
+        out = _row_shift_down(out, m1) - out
+    if b[1]:
+        out = _row_shift_down(out, 1) - out
+    if b[2]:
+        out = _shift_down(out, 1) - out
+    mask = None
+    for bj, mk in zip(b, masks):
+        if bj:
+            mask = mk if mask is None else mask * mk
+    return out if mask is None else out * mask
+
+
+def _achain3(w, b, m1):
+    """Adjoint chain (shift_up - id per differenced axis); exact given
+    the edge-zero block convention."""
+    out = w
+    if b[0]:
+        out = _row_shift_up(out, m1) - out
+    if b[1]:
+        out = _row_shift_up(out, 1) - out
+    if b[2]:
+        out = _shift_up(out, 1) - out
+    return out
+
+
+def _masks3(R, m, t, T, H, dtype):
+    """(mask_ax0, mask_ax1, mask_ax2, valid) for an extended flat panel:
+    locals 0..R-1 map to flat rows g = t*T - H + l; i0 = g // m1,
+    i1 = g mod m1."""
+    m0, m1, m2 = m
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m2), 0) + t * T - H
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m2), 1)
+    i1 = jax.lax.rem(g, m1)   # g >= -H > -m1 - 8; negative rows are
+    # zeroed by valid anyway, so rem's sign convention is irrelevant there
+    valid = (g >= 0).astype(dtype)
+    mask0 = jnp.logical_and(g < (m0 - 1) * m1, g >= 0).astype(dtype)
+    mask1 = jnp.logical_and(i1 < m1 - 1, g >= 0).astype(dtype)
+    mask2 = (col < m2 - 1).astype(dtype)
+    return mask0, mask1, mask2, valid
+
+
+# p = 3 full C++ block set in fd_binaries(3, True) order.
+_BINARIES3 = ((1, 1, 1), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+              (1, 0, 0), (1, 0, 1), (1, 1, 0))
+
+# Minimum knot count for the 3-D tiled kernels (see tiled3_supported;
+# tests lower this to exercise the path on tiny lattices).
+TILED3_MIN_KNOTS = 1 << 22
+
+
+def _tiled3_dual_kernel(T, m, n_tiles, H,
+                        theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
+                        u5_hbm, u6_hbm, scal_ref,
+                        a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
+                        a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
+                        un4_ref, un5_ref, un6_ref, stats_ref,
+                        theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
+                        sems):
+    """Fused p=3 dual stage on flat row panels: 7 forward-difference
+    blocks, prox, dual ascent, and all five Boyd reductions in ONE pass
+    (contract of dual_update_2d, seven blocks)."""
+    t = pl.program_id(0)
+    m0, m1, m2 = m
+    dtype = theta_s.dtype
+    kappa = scal_ref[0]
+    uscale = scal_ref[1]
+    scales = [scal_ref[2 + k] for k in range(7)]
+
+    ins = [theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm, u5_hbm,
+           u6_hbm]
+    scr = [theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=H)
+
+    theta = theta_s[cur]
+    R = T + 2 * H
+    masks = _masks3(R, m, t, T, H, dtype)
+    mask012, valid = masks[:3], masks[3]
+
+    def soft(z):
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
+
+    u_s = [u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
+    a_refs = [a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref, a6_ref]
+    un_refs = [un0_ref, un1_ref, un2_ref, un3_ref, un4_ref, un5_ref,
+               un6_ref]
+
+    sl = slice(H, T + H)
+    p_sq = jnp.zeros((), dtype)
+    d_sq = jnp.zeros((), dtype)
+    a_sq = jnp.zeros((), dtype)
+    dtr = None
+    dtu = None
+    for k, b in enumerate(_BINARIES3):
+        d_k = scales[k] * _fchain3(theta, b, m1, mask012)
+        u_k = uscale * u_s[k][cur] * valid
+        a_k = soft(d_k - u_k)
+        r_k = a_k - d_k
+        un_k = u_k + r_k
+        a_refs[k][:] = a_k[sl]
+        un_refs[k][:] = un_k[sl]
+        p_sq += jnp.sum(r_k[sl] ** 2)
+        d_sq += jnp.sum(d_k[sl] ** 2)
+        a_sq += jnp.sum(a_k[sl] ** 2)
+        tr = scales[k] * _achain3(r_k, b, m1)
+        tu = scales[k] * _achain3(un_k, b, m1)
+        dtr = tr if dtr is None else dtr + tr
+        dtu = tu if dtu is None else dtu + tu
+
+    stats_ref[t, 0] = p_sq
+    stats_ref[t, 1] = d_sq
+    stats_ref[t, 2] = a_sq
+    stats_ref[t, 3] = jnp.sum(dtr[sl] ** 2)
+    stats_ref[t, 4] = jnp.sum(dtu[sl] ** 2)
+
+
+def _tile_rows_3d(m: Tuple[int, int, int]) -> int:
+    """Flat-row panel height for the 3-D kernels: ~1 MB output panels,
+    multiple of 8, divides m0*m1, and at least the halo height m1 + 8
+    (so interior tiles' DMA starts stay in range)."""
+    m0, m1, m2 = int(m[0]), int(m[1]), int(m[2])
+    rows = m0 * m1
+    target = max(8, min(4096, ((1 << 20) // (m2 * 4)) // 8 * 8))
+    H = m1 + 8
+    for t in range(min(target, rows // 2), 7, -8):
+        # t >= H keeps interior DMA starts nonnegative; rows >= t + 2H
+        # keeps the interior-tile slice constructible (it is traced even
+        # when n_tiles == 2 leaves no interior tiles).
+        if rows % t == 0 and t >= H and rows >= t + 2 * H:
+            return t
+    return 0   # no usable panel height
+
+
+def tiled3_supported(m: Tuple[int, ...], binaries) -> bool:
+    """p == 3, full C++ block set, lane-aligned last axis, 8-aligned
+    middle axis, a flat-row panel height with >= 2 tiles, and at least
+    2^22 knots — below that XLA's own fusion wins (measured on one v5e:
+    256^3 37.2 -> 64.0 iters/s with the kernels, 128^3 711 -> 620, i.e.
+    a REGRESSION at 2M knots where the panels are cache-resident)."""
+    if len(m) != 3 or len(binaries) != 7:
+        return False
+    if tuple(binaries) != _BINARIES3:
+        return False
+    m0, m1, m2 = (int(v) for v in m)
+    if m2 % 128 or m1 % 8:
+        return False
+    if m0 * m1 * m2 < TILED3_MIN_KNOTS:
+        return False
+    T = _tile_rows_3d(m)
+    return T > 0 and (m0 * m1) // T >= 2
+
+
+def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
+                         kappa: jax.Array, scales: Tuple[jax.Array, ...],
+                         u_scale: jax.Array | None = None,
+                         interpret: bool = False,
+                         tile_rows: int | None = None):
+    """Row-panel-streamed p=3 dual stage (contract of dual_update_2d:
+    returns (alpha_blocks, u_blocks, stats[5]))."""
+    m = tuple(int(v) for v in theta.shape)
+    m0, m1, m2 = m
+    dtype = theta.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows_3d(m)
+    H = m1 + 8
+    rows = m0 * m1
+    n_tiles = rows // T
+    scal = jnp.stack([
+        jnp.asarray(kappa, dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+    ] + [jnp.asarray(s, dtype) for s in scales])
+
+    flat = lambda x: x.reshape(rows, m2)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_spec = pl.BlockSpec((T, m2), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
+    shp = jax.ShapeDtypeStruct((rows, m2), dtype)
+    outs = pl.pallas_call(
+        functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H),
+        grid=(n_tiles,),
+        out_shape=tuple([shp] * 14) + (
+            jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
+        in_specs=[any_spec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tuple([tile_spec] * 14) + (smem_stat,),
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * H, m2), dtype)] * 8
+        + [pltpu.SemaphoreType.DMA((2, 8))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(flat(theta), *[flat(w) for w in u], scal)
+    unflat = lambda x: x.reshape(m)
+    alpha = tuple(unflat(o) for o in outs[0:7])
+    un = tuple(unflat(o) for o in outs[7:14])
+    return alpha, un, jnp.sum(outs[14], axis=0)
+
+
+def _tiled3_gram_res_kernel(T, m, n_tiles, H,
+                            v_hbm, counts_ref, b_ref, scal_ref, out_ref,
+                            v_s, sems):
+    """r0 = b - (counts + rho D'D) v on flat row panels (p = 3)."""
+    t = pl.program_id(0)
+    m0, m1, m2 = m
+    dtype = counts_ref.dtype
+    scales_sq = [scal_ref[k] for k in range(7)]
+
+    cur = _halo_pingpong(t, n_tiles, T, [v_hbm], [v_s], sems, H=H)
+    v = v_s[cur]
+    R = T + 2 * H
+    masks = _masks3(R, m, t, T, H, dtype)
+    mask012 = masks[:3]
+
+    sl = slice(H, T + H)
+    acc = None
+    for k, b in enumerate(_BINARIES3):
+        term = scales_sq[k] * _achain3(_fchain3(v, b, m1, mask012), b, m1)
+        acc = term if acc is None else acc + term
+    out_ref[:] = b_ref[:] - (counts_ref[:] * v[sl] + acc[sl])
+
+
+def gram_residual_tiled_3d(b: jax.Array, v: jax.Array, counts: jax.Array,
+                           rho: jax.Array, scales: Tuple[jax.Array, ...],
+                           interpret: bool = False,
+                           tile_rows: int | None = None) -> jax.Array:
+    """r0 = b - (counts + rho D'D) v, one streamed pass (p = 3)."""
+    m = tuple(int(s) for s in v.shape)
+    m0, m1, m2 = m
+    dtype = v.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows_3d(m)
+    H = m1 + 8
+    rows = m0 * m1
+    n_tiles = rows // T
+    rho = jnp.asarray(rho, dtype)
+    scal = jnp.stack([rho * jnp.asarray(s, dtype) ** 2 for s in scales])
+    flat = lambda x: x.reshape(rows, m2)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_spec = pl.BlockSpec((T, m2), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled3_gram_res_kernel, T, m, n_tiles, H),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((rows, m2), dtype),
+        in_specs=[any_spec, tile_spec, tile_spec,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * H, m2), dtype)]
+        + [pltpu.SemaphoreType.DMA((2, 1))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(flat(v), flat(counts), flat(b), scal)
+    return out.reshape(m)

@@ -151,6 +151,19 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
         and problem.counts.ndim == len(ops.m)
     )
+    # p = 3: the fused flat-row dual kernel + gram-residual kernel
+    # (kernels 10/11).  The jnp rhs adjoint stays in XLA — it measured
+    # near-optimal (1.8 ms at 256^3 vs 1.3 ms pure-bandwidth), unlike the
+    # dual stage's ~10 ms of unfusable stencil+reduction passes.
+    use_tiled3 = (
+        cfg.use_pallas
+        and not batched
+        and not use_pallas
+        and not use_tiled
+        and pk.tiled3_supported(ops.m, ops.binaries)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
 
     # Loop-invariant layout conversion of counts for the large-lattice
     # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
@@ -177,15 +190,19 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
                                cfg, use_pallas=use_pallas,
                                counts_blocked=counts_blocked,
-                               tiled_ok=use_tiled)
-        if use_pallas or use_tiled:
+                               tiled_ok=use_tiled, tiled3_ok=use_tiled3)
+        if use_pallas or use_tiled or use_tiled3:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.
             if use_pallas:
                 alpha, u, stats = pk.dual_update_2d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale)
-            else:
+            elif use_tiled:
                 alpha, u, stats = pk.dual_update_tiled_2d(
+                    theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
+                    interpret=FORCE_FUSED_INTERPRET)
+            else:
+                alpha, u, stats = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
                     interpret=FORCE_FUSED_INTERPRET)
             primal_norm = jnp.sqrt(stats[0])

@@ -219,7 +219,8 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             b: jax.Array, rho: jax.Array, x0: jax.Array,
             cfg: SolverConfig, use_pallas: bool = False,
             counts_blocked=None,
-            tiled_ok: bool = False) -> Tuple[jax.Array, jax.Array]:
+            tiled_ok: bool = False,
+            tiled3_ok: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Returns (theta, cg_iters).
 
     counts_blocked: optional precomputed blocked layout of counts (loop-
@@ -243,6 +244,17 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # r0 = b - A v with the subtraction fused into the streamed
             # gram kernel (one pass instead of matvec + subtract).
             return pk.gram_residual_tiled_2d(
+                bb, v, counts, rho, ops.scales,
+                interpret=admm_mod.FORCE_FUSED_INTERPRET)
+    elif tiled3_ok:
+        from multivartv_tpu.ops import pallas_kernels as pk
+        from multivartv_tpu.solver import admm as admm_mod
+
+        def matvec(v):
+            return counts * v + rho * ops.apply_gram(v)
+
+        def residual(bb, v):
+            return pk.gram_residual_tiled_3d(
                 bb, v, counts, rho, ops.scales,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
     else:

@@ -1,0 +1,129 @@
+"""The p=3 tiled kernels (flat-row dual stage + Gram residual, kernels
+10/11): elementwise/stats parity vs the jnp stencils in interpret mode,
+gate behavior, and the converged solve through the tiled3 path.
+
+p=3 has 7 difference blocks and no whole-lattice kernels; through round 3
+the dual stage ran as ~10 ms of separate jnp passes at 256^3 (the rhs
+adjoint measured near-optimal in XLA and deliberately keeps running
+there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multivartv_tpu.config import SolverConfig
+from multivartv_tpu.ops import diff as diff_ops
+from multivartv_tpu.ops import pallas_kernels as pk
+from multivartv_tpu.ops.prox import soft_threshold_blocks
+from multivartv_tpu.solver import admm, xupdate
+from multivartv_tpu.solver.problem import Problem, build_operators
+
+M3 = (6, 8, 128)
+T3 = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.RandomState(3)
+    bins = diff_ops.fd_binaries(3, True)
+    deltas = jnp.asarray([0.5, 0.8, 1.2], jnp.float32)
+    scales = diff_ops.delta_scales(bins, deltas)
+    theta = jnp.asarray(rng.randn(*M3).astype(np.float32))
+    u = tuple(jnp.asarray(rng.randn(*M3).astype(np.float32))
+              * diff_ops.edge_mask(M3, b) for b in bins)
+    return bins, deltas, scales, theta, u
+
+
+def test_gate(monkeypatch):
+    bins = diff_ops.fd_binaries(3, True)
+    assert pk.tiled3_supported((256, 256, 256), bins)
+    # below the measured crossover XLA fusion wins (128^3: 711 vs 620)
+    assert not pk.tiled3_supported((128, 128, 128), bins)
+    assert not pk.tiled3_supported((256, 256, 200), bins)   # lane-unaligned
+    assert not pk.tiled3_supported((256, 250, 256), bins)   # mid-unaligned
+    assert not pk.tiled3_supported((256, 256), bins[:3])    # p != 3
+    # reduced block set (include_full_mixed=False) stays on jnp
+    assert not pk.tiled3_supported(
+        (256, 256, 256), diff_ops.fd_binaries(3, False))
+    monkeypatch.setattr(pk, "TILED3_MIN_KNOTS", 1)
+    assert pk.tiled3_supported(M3, bins)
+
+
+def test_dual3d_matches_jnp(setup):
+    bins, deltas, scales, theta, u = setup
+    kappa = jnp.float32(0.3)
+    uscale = jnp.float32(0.7)
+    alpha, un, stats = pk.dual_update_tiled_3d(
+        theta, u, kappa, scales, u_scale=uscale, interpret=True,
+        tile_rows=T3)
+
+    d = diff_ops.apply_D(theta, bins, scales)
+    u_eff = tuple(uscale * w for w in u)
+    a_ref = soft_threshold_blocks(
+        tuple(dt - w for dt, w in zip(d, u_eff)), kappa)
+    r_ref = tuple(a - dt for a, dt in zip(a_ref, d))
+    un_ref = tuple(w + r for w, r in zip(u_eff, r_ref))
+    for k in range(7):
+        np.testing.assert_allclose(np.asarray(alpha[k]),
+                                   np.asarray(a_ref[k]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(un[k]),
+                                   np.asarray(un_ref[k]), atol=1e-5)
+    want = [
+        sum(float(jnp.sum(r ** 2)) for r in r_ref),
+        sum(float(jnp.sum(x ** 2)) for x in d),
+        sum(float(jnp.sum(x ** 2)) for x in a_ref),
+        float(jnp.sum(diff_ops.apply_Dt(r_ref, bins, scales) ** 2)),
+        float(jnp.sum(diff_ops.apply_Dt(un_ref, bins, scales) ** 2)),
+    ]
+    for w, g in zip(want, [float(x) for x in stats]):
+        assert abs(w - g) <= 1e-3 * max(abs(w), 1e-6)
+
+
+def test_gram_residual3d_matches_jnp(setup):
+    bins, deltas, scales, theta, u = setup
+    rng = np.random.RandomState(5)
+    counts = jnp.asarray(rng.poisson(3, M3).astype(np.float32))
+    b = jnp.asarray(rng.randn(*M3).astype(np.float32))
+    rho = jnp.float32(0.13)
+    r0 = pk.gram_residual_tiled_3d(b, theta, counts, rho, scales,
+                                   interpret=True, tile_rows=T3)
+    want = b - (counts * theta
+                + rho * diff_ops.apply_gram(theta, bins, scales))
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(want), atol=1e-4)
+
+
+def test_admm_solve_through_tiled3_path(monkeypatch):
+    """The converged solve through dual3d + gram-residual3d (+ packed
+    spectral x-update) matches the plain jnp path's objective."""
+    monkeypatch.setattr(pk, "_tile_rows_3d", lambda mm: T3)
+    monkeypatch.setattr(pk, "TILED3_MIN_KNOTS", 1)
+    monkeypatch.setattr(admm, "FORCE_FUSED_INTERPRET", True)
+    monkeypatch.setattr(xupdate, "FORCE_XLA_PACKED", True)
+    rng = np.random.RandomState(11)
+    deltas = jnp.asarray([0.5, 0.8, 1.2], jnp.float32)
+    counts = jnp.asarray(rng.poisson(2, M3).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*M3).astype(np.float32)) * counts
+    problem = Problem(counts=counts, oty=oty,
+                      ybar=jnp.sum(oty) / jnp.sum(counts),
+                      flat_idx=jnp.zeros((1,), jnp.int32),
+                      y=jnp.zeros((1,), jnp.float32))
+    lam = jnp.asarray(0.08, jnp.float32)
+    cfg = SolverConfig(chunk_iters=1, cg_fixed_iters=3, max_iters=60)
+    ops = build_operators(M3, deltas, cfg, jnp.float32)
+    assert pk.tiled3_supported(M3, ops.binaries)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(admm, "FORCE_FUSED_INTERPRET", False)
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        cfg_ref = SolverConfig(chunk_iters=1, cg_fixed_iters=3,
+                               max_iters=60, use_pallas=False)
+        ref = admm.admm_solve(ops, problem, lam, s0, cfg_ref)
+    fid, pen = admm.objective(ops, problem, out.theta)
+    fr, pr = admm.objective(ops, problem, ref.theta)
+    obj, obj_ref = float(fid + lam * pen), float(fr + lam * pr)
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 2e-3 * abs(obj_ref)
+    assert int(out.counter) == int(ref.counter)

@@ -263,3 +263,45 @@ def test_tiled_kernels_on_chip():
         a, b = float(getattr(out, f)), float(getattr(ref, f))
         assert np.isfinite(a) and abs(a - b) <= 5e-2 * max(abs(b), 1e-12), (
             f, a, b)
+
+
+def test_tiled3d_kernels_on_chip():
+    """The p=3 flat-row kernels (10/11) on real DMA hardware: 8 ADMM
+    steps at a >=2^22-knot 3-D lattice must match the jnp path's
+    objective (same near-null amplification caveat as the 2-D test:
+    objectives, never elementwise theta)."""
+    m = (64, 256, 256)   # 4.2M knots: above TILED3_MIN_KNOTS
+    from multivartv_tpu.ops import pallas_kernels as pk
+    cfg = SolverConfig(use_pallas=True, cg_fixed_iters=3, chunk_iters=1,
+                       max_iters=8, tol=1e-12, adapt_rho=False)
+    deltas = jnp.asarray([2.0 / v for v in m], jnp.float32)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert pk.tiled3_supported(m, ops.binaries)
+    rng = np.random.RandomState(7)
+    counts = jnp.asarray(rng.poisson(1, m).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+    problem = Problem(counts=counts, oty=oty,
+                      ybar=jnp.sum(oty) / jnp.sum(counts),
+                      flat_idx=jnp.zeros((1,), jnp.int32),
+                      y=jnp.zeros((1,), jnp.float32))
+    lam = jnp.asarray(0.05, jnp.float32)
+
+    def solve(c):
+        @jax.jit
+        def run():
+            s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+            return admm.admm_solve(ops, problem, lam, s0, c)
+        return jax.block_until_ready(run())
+
+    out = solve(cfg)
+    ref = solve(dataclasses.replace(cfg, use_pallas=False))
+    assert int(out.counter) == int(ref.counter) == 8
+    obj = _objective(ops, problem, out.theta, float(lam))
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 1e-4 * abs(obj_ref), (obj, obj_ref)
+    for a, b_ in ((out.primal_norm, ref.primal_norm),
+                  (out.dual_norm, ref.dual_norm),
+                  (out.eps_primal, ref.eps_primal),
+                  (out.eps_dual, ref.eps_dual)):
+        np.testing.assert_allclose(float(a), float(b_), rtol=1e-3)
