@@ -39,8 +39,10 @@ extras (each guarded; a failure records a string instead of a number):
                             spectral-correction CG — solver/xupdate.py)
   iters_per_s_128cube       3-D 128^3 packed-spectral path (BASELINE
                             config 4)
-  iters_per_s_256cube       3-D 16.8M-knot scale point (blocked layout,
-                            halves = 128 lanes)
+  iters_per_s_256cube       3-D 16.8M-knot scale point (blocked layout +
+                            p=3 tiled dual/gram kernels)
+  iters_per_s_8192          67M-knot single-chip throughput (quartered
+                            layout, bf16 CG vectors)
   sharded_config_iters_per_s_2048/_4096  the sharded-regime program's
                             per-chip floor, measured in the regime
                             sharding serves
@@ -338,6 +340,7 @@ def roofline_extra(measured: dict):
     out = {}
     for key, m, lay in (("2048", (2048, 2048), "quartered"),
                         ("4096", (4096, 4096), "quartered"),
+                        ("8192", (8192, 8192), "quartered"),
                         ("256cube", (256, 256, 256), "blocked")):
         meas = measured.get(key)
         if not isinstance(meas, (int, float)):
@@ -482,6 +485,10 @@ def main():
             "sharded_config_4096", lambda: round(measure_scale(
                 sharded_cfg, (4096, 4096), 1 << 22, 5, 30), 1))
 
+        extras["iters_per_s_8192"] = guarded(
+            "8192^2", lambda: round(measure_scale(
+                cfg, (8192, 8192), 1 << 24, 3, 18), 1))
+
         extras["mvtv_e2e"] = guarded("mvtv_e2e", lambda: dict(zip(
             ("seconds", "route"), measure_e2e_mvtv())))
         extras["converged_8192"] = guarded("converged_8192",
@@ -489,6 +496,7 @@ def main():
         extras["roofline"] = guarded("roofline", lambda: roofline_extra({
             "2048": extras.get("iters_per_s_2048"),
             "4096": extras.get("iters_per_s_4096"),
+            "8192": extras.get("iters_per_s_8192"),
             "256cube": extras.get("iters_per_s_256cube"),
         }))
 

@@ -123,15 +123,16 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
     if vec_bf16 is None:
         vec_bf16 = int(np.prod(m)) > (1 << 23)
     vb = 2 if vec_bf16 else 4
+    B = (1 << len(m)) - 1   # difference blocks (2^p - 1)
     tf = _transform_flops_per_knot(m, layout)
     stages = [
-        # b = oty + rho D'(alpha + u_scale u): 3 alpha + 3 u + oty -> b
-        Stage("rhs", reads=7, writes=1,
+        # b = oty + rho D'(alpha + u_scale u): B alpha + B u + oty -> b
+        Stage("rhs", reads=2 * B + 1, writes=1,
               note="tiled rhs kernel (one pass)" if tiled
-              else "jnp adjoint stencils (multi-pass)"),
-        # r0 = b - (counts x0 + rho Gram x0): gram kernel + subtraction
-        Stage("cg.r0", reads=2 + 2, writes=1 + 1,
-              note="tiled gram matvec kernel + fused subtract pass"),
+              else "jnp adjoint stencils"),
+        # r0 = b - (counts x0 + rho Gram x0), fused residual kernel
+        Stage("cg.r0", reads=3, writes=1,
+              note="tiled gram-residual kernel (one pass)"),
         # layout conversion natural -> blocks (one copy each way around
         # the whole x-update); reads f32, writes vector dtype
         Stage("cg.to_blocks", reads=1, writes=1, elem_bytes=(4 + vb) // 2),
@@ -168,8 +169,8 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
         Stage("cg.from_blocks", reads=1, writes=1, elem_bytes=vb),
         Stage("cg.apply_dx", reads=2, writes=1, elem_bytes=(4 + vb) // 2,
               note="x = x0 + dx"),
-        # Dual stage: theta + 3 u -> 3 alpha + 3 u + Boyd stats
-        Stage("dual", reads=4, writes=6,
+        # Dual stage: theta + B u -> B alpha + B u + Boyd stats
+        Stage("dual", reads=B + 1.0, writes=2.0 * B,
               note="tiled dual kernel (one pass, stats in-kernel)" if tiled
               else "jnp prox/dual stencils (multi-pass)"),
     ]
@@ -185,10 +186,11 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
     if vec_bf16 is None:
         vec_bf16 = int(np.prod(m)) > (1 << 23)
     vb = 2 if vec_bf16 else 4
+    B = (1 << len(m)) - 1
     tf = _transform_flops_per_knot(m, layout)
     n_tf = 2 + 2 * n_steps   # fwd0, per-step inv+fwd, final inv
     return (
-        Stage("rhs", reads=7, writes=1),
+        Stage("rhs", reads=2.0 * B + 1, writes=1),
         Stage("cg.r0", reads=3, writes=1,
               note="b, x0, counts -> r0 (gram matvec fused with subtract)"),
         Stage("transforms", reads=float(n_tf), writes=float(n_tf),
@@ -198,7 +200,7 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
               elem_bytes=vb,
               note="one fused pass per CG step between transforms"),
         Stage("cg.apply_dx", reads=2, writes=1),
-        Stage("dual", reads=4, writes=6),
+        Stage("dual", reads=B + 1.0, writes=2.0 * B),
     )
 
 
