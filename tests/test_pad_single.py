@@ -170,6 +170,28 @@ def test_tile_divisor_never_cliffs(m0):
     assert mp[0] - (-(-m0 // 8) * 8) <= 56
 
 
+def test_mvtv_api_padded_route_matches(force_packed):
+    """Full mvtv() at an unaligned mesh: the padded single-problem route
+    (active under FORCE_XLA_PACKED) must reproduce the unpadded fit —
+    fits, lambda choice and CV curve."""
+    from multivartv_tpu.api import mvtv
+    rng = np.random.RandomState(117)
+    n = 1500
+    x = rng.uniform(-1, 1, (n, 2))
+    f = (x[:, 0] > 0.0).astype(float)
+    y = f + rng.randn(n) * 0.2
+    kw = dict(m=(10, 12), n_lambda=4, folds=1)
+    padded = mvtv(x, y, **kw)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref = mvtv(x, y, **kw)
+    np.testing.assert_allclose(padded.lambdas, ref.lambdas, rtol=1e-5)
+    assert padded.lambda_minmse_ind == ref.lambda_minmse_ind
+    np.testing.assert_allclose(padded.cv_mses, ref.cv_mses, rtol=2e-3)
+    np.testing.assert_allclose(padded.fitted, ref.fitted, rtol=2e-2,
+                               atol=2e-3)
+
+
 def test_unaligned_1000sq_hits_fast_gates(force_packed):
     """The m = floor(sqrt(10^6)) production shape: padding qualifies it
     for every large-lattice fast gate."""
