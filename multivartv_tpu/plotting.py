@@ -104,15 +104,33 @@ def plot_model(model, lam: Optional[float] = None, addmesh: bool = False,
     return fig
 
 
-def _moving_average_smooth(x_sorted, y_sorted, frac=0.3):
-    """Lightweight loess stand-in: centered moving average over a fraction
-    of the data (the reference uses R's loess, MultivarTV.R:74)."""
-    n = len(x_sorted)
-    w = max(3, int(frac * n) | 1)
-    pad = w // 2
-    ypad = np.pad(y_sorted, pad, mode="edge")
-    kernel = np.ones(w) / w
-    return np.convolve(ypad, kernel, mode="valid")
+def _loess_smooth(x_sorted, y_sorted, frac=0.75, degree=2):
+    """LOESS trend matching the reference's smoother (R stats::loess with
+    its defaults span=0.75, degree=2 — MultivarTV.R:74): for each point,
+    a tricube-weighted local polynomial fit over the span-nearest
+    neighbors.  Vectorized numpy; no iterative robustifying pass (R's
+    default family="gaussian" does none either)."""
+    x = np.asarray(x_sorted, np.float64)
+    y = np.asarray(y_sorted, np.float64)
+    n = len(x)
+    k = max(degree + 1, min(n, int(np.ceil(frac * n))))
+    out = np.empty(n)
+    for i in range(n):
+        # span-nearest window (x is sorted, so it is contiguous)
+        lo = np.searchsorted(x, x[i], side="left")
+        a = min(max(0, lo - k // 2), n - k)
+        xs = x[a:a + k]
+        ys = y[a:a + k]
+        d = np.abs(xs - x[i])
+        dmax = d.max()
+        w = (1.0 - (d / dmax) ** 3) ** 3 if dmax > 0 else np.ones_like(d)
+        cols = [np.ones_like(xs)]
+        for p in range(1, degree + 1):
+            cols.append((xs - x[i]) ** p)
+        A = np.stack(cols, 1) * w[:, None]
+        beta, *_ = np.linalg.lstsq(A, ys * w, rcond=None)
+        out[i] = beta[0]
+    return out
 
 
 def plot_residuals(model, save: Optional[str] = None):
@@ -123,7 +141,7 @@ def plot_residuals(model, save: Optional[str] = None):
     res_srt = model.residuals[order]
     fig, ax = plt.subplots(figsize=(7, 4.5))
     ax.plot(fit_srt, res_srt, "o", ms=3, alpha=0.5)
-    ax.plot(fit_srt, _moving_average_smooth(fit_srt, res_srt), lw=1.5)
+    ax.plot(fit_srt, _loess_smooth(fit_srt, res_srt), lw=1.5)
     ax.axhline(0.0, ls="--", lw=1, color="k")
     ax.set_xlabel("Fitted")
     ax.set_ylabel("Residuals")

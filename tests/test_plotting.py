@@ -54,3 +54,25 @@ def test_plot_3d_raises(model_2d):
     bad = dataclasses.replace(model_2d, data=np.zeros((10, 3)))
     with pytest.raises(ValueError):
         plotting.plot_model(bad)
+
+
+def test_loess_exact_on_quadratic():
+    """degree-2 LOESS reproduces a noiseless quadratic exactly (local
+    quadratic fits are unbiased for polynomials of degree <= 2) — the
+    reference's smoother semantics (R loess defaults, MultivarTV.R:74)."""
+    from multivartv_tpu.plotting import _loess_smooth
+    x = np.linspace(-2.0, 3.0, 80)
+    y = 1.5 - 0.7 * x + 0.3 * x ** 2
+    sm = _loess_smooth(x, y)
+    np.testing.assert_allclose(sm, y, atol=1e-8)
+
+
+def test_loess_smooths_noise():
+    from multivartv_tpu.plotting import _loess_smooth
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(0, 1, 200))
+    y = np.sin(2 * np.pi * x)
+    noisy = y + rng.randn(200) * 0.3
+    sm = _loess_smooth(x, noisy, frac=0.4)
+    # trend error well under the noise scale
+    assert np.sqrt(np.mean((sm - y) ** 2)) < 0.15
