@@ -173,7 +173,7 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     if (cfg.x_solver == "dct_pcg" and cfg.spectral_cg
             and xup._xla_packed_applies(ops, cfg)
             and problem.counts.ndim == len(ops.m)):
-        counts_blocked = xup.counts_to_layout(ops, problem.counts)
+        counts_blocked = xup.counts_to_layout(ops, problem.counts, cfg)
 
     def body(s: ADMMState) -> ADMMState:
         # x-update: b = O'y + rho D'(alpha + u_scale * u)

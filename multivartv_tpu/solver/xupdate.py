@@ -101,16 +101,36 @@ def spectral_layout(ops: Operators) -> str | None:
     return "packed"
 
 
-def counts_to_layout(ops: Operators, counts):
+def spectral_vec_dtype(ops: Operators, cfg: SolverConfig):
+    """The spectral-CG block-vector storage dtype: bfloat16 when
+    SolverConfig.spectral_vec_bf16 (auto: lattices > 2^23 knots — the
+    bandwidth-bound regime; measured +20% at 4096^2, -4% at 2048^2),
+    else None (= keep the problem dtype)."""
+    use = (cfg.spectral_vec_bf16 if cfg.spectral_vec_bf16 is not None
+           else ops.ntheta > (1 << 23))
+    return jnp.bfloat16 if use else None
+
+
+def counts_to_layout(ops: Operators, counts, cfg: SolverConfig = None):
     """Loop-invariant layout conversion of counts for the spectral CG
-    (hoisted out of the ADMM while_loop body by make_admm_iteration)."""
+    (hoisted out of the ADMM while_loop body by make_admm_iteration).
+
+    With the bf16 vector path active the blocks are stored bfloat16 too:
+    counts are per-knot sample tallies — small integers, EXACT in bf16 up
+    to 256 — and the f32 read in fwd(counts * inv(p)) was costing a full
+    lattice pass per CG step (~0.5 ms/iteration at 4096^2)."""
     lay = spectral_layout(ops)
     p = len(ops.m)
     if lay == "quartered":
-        return dct_ops.to_blocks4(counts, p)
-    if lay == "blocked":
-        return dct_ops.to_blocks(counts, p)
-    return None
+        out = dct_ops.to_blocks4(counts, p)
+    elif lay == "blocked":
+        out = dct_ops.to_blocks(counts, p)
+    else:
+        return None
+    vd = spectral_vec_dtype(ops, cfg) if cfg is not None else None
+    if vd is not None:
+        out = tuple(c.astype(vd) for c in out)
+    return out
 
 
 def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
@@ -349,9 +369,7 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             # half-size matmuls under-utilize the 128-lane MXU tile:
             # 128^3 measured 536 vs 712 iters/s blocked vs packed).
             lay = spectral_layout(ops)
-            use_bf16 = (cfg.spectral_vec_bf16 if cfg.spectral_vec_bf16
-                        is not None else ops.ntheta > (1 << 23))
-            vd = jnp.bfloat16 if use_bf16 else None
+            vd = spectral_vec_dtype(ops, cfg)
             if lay == "quartered":
                 return _spectral_cg_quartered(
                     ops, counts, b, rho, x0, matvec, cbar, n_steps,
