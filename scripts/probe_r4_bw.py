@@ -1,5 +1,10 @@
 """Round-4 probe: achievable HBM bandwidth baselines at 4096^2.
 
+CAVEAT (measured): these standalone micro-loops return nonsense over the
+axon tunnel (t_hi ~= t_lo, i.e. per-call ~0) — unlike the admm-level
+slope probes, which are reliable.  Kept for a local-backend rerun; do
+NOT trust its numbers from a tunneled session.
+
 (a) XLA elementwise pass (y = x * c + d): the fusion-engine ceiling.
 (b) Minimal Pallas tiled copy (tiled in -> tiled out, auto BlockSpecs).
 (c) Pallas copy with manual ping-pong halo DMA (the r3 kernel skeleton).
