@@ -375,7 +375,7 @@ def pad_single_applies(ops: Operators, problem: Problem, cfg: SolverConfig,
     p = len(ops.m)
     return (
         not batched
-        and p == 2
+        and p in (2, 3)
         and pad_lib.needs_padding(ops.m)
         and ops.deltas is not None
         and problem.counts.ndim == p
@@ -413,9 +413,11 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
     convergence may be overshot by up to chunk-1 iterations (benign:
     converged states are fixed points within CG tolerance), the cap never.
 
-    Unaligned 2-D lattices on the fast-path backends are zero-count-padded
-    to DMA alignment around the loop (solver/pad.py): one pad before, one
-    crop after, exact objective parity, Boyd thresholds on TRUE sizes.
+    Unaligned 2-D/3-D lattices on the fast-path backends are zero-count-
+    padded to DMA alignment around the loop (solver/pad.py): one pad
+    before, one crop after, Boyd thresholds on TRUE sizes, objective
+    parity to ~1e-4 at alignment-sized pads (solver/pad.py accuracy
+    note).
     """
     chunk = resolve_chunk(cfg)
     ops, problem, state, crop, (s_nt, s_rd) = _pad_for_single(
@@ -485,7 +487,9 @@ def fused_batched_available(ops: Operators, problem: Problem,
     Unaligned/odd lattices (the reference-default m = floor(sqrt(N)) per
     axis is almost never DMA-aligned) still qualify via zero-count padding
     to the next (8, 128)-aligned size (solver/pad.py) — admm_solve_batched
-    pads/crops transparently and objective parity is exact."""
+    pads/crops transparently; objective parity is exact for the fidelity
+    and within ~1e-4 for the TV term at alignment-sized pads (see
+    solver/pad.py accuracy note)."""
     from multivartv_tpu.ops import pallas_kernels as pk
     from multivartv_tpu.solver import pad as pad_lib
     p = len(ops.m)
@@ -618,8 +622,9 @@ def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
     (chunked phase stops chunk-1 short; a per-iteration tail finishes).
 
     Unaligned lattices are zero-count-padded to DMA alignment around the
-    whole loop (solver/pad.py): one pad before, one crop after, exact
-    objective parity."""
+    whole loop (solver/pad.py): one pad before, one crop after; objective
+    parity to ~1e-4 at alignment-sized pads (solver/pad.py accuracy
+    note)."""
     chunk = resolve_chunk(cfg)
     ops, problem, state, crop, (s_nt, s_rd) = _pad_for_batched(
         ops, problem, state, cfg)

@@ -12,18 +12,30 @@ The fix is the package's own core trick (ops/diff.py padded blocks) applied
 one level up: EXTEND THE LATTICE with zero-count knots to the next aligned
 size and solve the padded problem.
 
-Why this is exact (objective parity, not approximation):
-  * the fidelity term only touches knots with samples — padded knots have
-    counts = 0 and contribute nothing;
-  * the TV penalty of any extension is >= 0, with equality iff the pad
-    region constantly continues the edge values (every forward/mixed diff
-    crossing into or inside the pad region must vanish);
-  * therefore the padded problem's optimum restricted to the real region
-    IS the original optimum, and its pad region is the (unique) replicated
-    continuation.
-Iterates differ transiently (the pad region has its own ADMM dynamics),
-so parity is asserted on converged objectives, exactly like the
-matched-objective gate vs the reference (solvers.cpp:110-126).
+Accuracy (corrected in round 4 — the round-3 "provably exact" claim was
+wrong):
+  * the FIDELITY term is exact: padded knots have counts = 0 and
+    contribute nothing;
+  * the TV penalty is NOT exactly preserved: replicating the edge slice
+    along a padded axis zeroes every diff crossing into or along that
+    axis inside the pad, but the diffs ALONG THE OTHER AXES inside the
+    pad duplicate the edge slice's own TV — the padded problem adds (at
+    most, for the replicated extension; the optimizer may do slightly
+    better) lambda * sum_j pad_width_j * TV_{other axes}(edge slice_j).
+    TV solutions have flat plateaus, so edge-slice TV is small and the
+    padded objective sits a one-sided hair ABOVE the true optimum:
+    measured relative objective gap vs the unpadded solve ~1e-4 at the
+    production 2-D alignment pads ((30,100)->(32,128) and even
+    (30,20)->(32,128)), ~2.5e-3 at an extreme 76%-pad 3-D case
+    ((5,7,100)->(6,8,128)).  Parity tests assert converged objectives
+    within these measured windows, like the matched-objective gate vs
+    the reference (solvers.cpp:110-126).
+  * An EXACT variant exists — mask the difference stencils at the TRUE
+    boundary so D has no rows touching pad knots (the uniform padded
+    operator then only serves as the DCT preconditioner, which tolerates
+    the boundary-localized perturbation) — but needs true-dim mask
+    parameters through every fused/tiled kernel; recorded as the named
+    next-round change.
 
 Boyd stopping uses the TRUE (unpadded) sqrt(ntheta)/sqrt(rows_d) constants
 — admm_solve_batched passes them through — so the convergence semantics
@@ -44,18 +56,26 @@ from multivartv_tpu.solver.problem import Operators, Problem
 
 # Kernel-6 DMA alignment (ops/pallas_kernels.py::batched_supported).
 ALIGN = (8, 128)
+# p = 3 alignment: even leading axis (folded-DCT halves need even sizes),
+# 8-sublane middle axis and 128-lane last axis (the flat-row tiled3
+# kernels, ops/pallas_kernels.py::tiled3_supported).
+ALIGN3 = (2, 8, 128)
 
 
 def pad_target_m(m: Tuple[int, ...]) -> Tuple[int, ...]:
-    """Next (8, 128)-aligned lattice dims (p == 2 only; other p returned
-    unchanged — the fused/tiled 2-D kernels are what alignment serves).
+    """Next aligned lattice dims: (8, 128) for p == 2, (2, 8, 128) for
+    p == 3 (other p returned unchanged).  The zero-count-extension
+    exactness argument above is dimension-generic; alignment is what the
+    fused/tiled kernels and the folded-DCT (even axes) need.
 
-    When the aligned m0 would leave the tiled row-panel kernels without a
-    reasonable panel divisor (the _tile_rows fallback cliff: e.g.
-    m0 = 2056 = 8 x 257 only divides by 8-row panels, 200% halo
-    overhead), m0 is bumped further to the next multiple of the minimum
-    acceptable panel height — pad-to-divisible instead of shrink-to-8
-    (VERDICT r3 weak #5).  Cost: at most 56 extra zero-count rows."""
+    p == 2 only: when the aligned m0 would leave the tiled row-panel
+    kernels without a reasonable panel divisor (the _tile_rows fallback
+    cliff: e.g. m0 = 2056 = 8 x 257 only divides by 8-row panels, 200%
+    halo overhead), m0 is bumped further to the next multiple of the
+    minimum acceptable panel height — pad-to-divisible instead of
+    shrink-to-8 (VERDICT r3 weak #5).  Cost: at most 56 extra rows."""
+    if len(m) == 3:
+        return tuple(-(-int(v) // a) * a for v, a in zip(m, ALIGN3))
     if len(m) != 2:
         return tuple(m)
     from multivartv_tpu.ops import pallas_kernels as pk

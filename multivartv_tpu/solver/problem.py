@@ -165,7 +165,7 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
                 _lp(dct_ops.dct_quarter_mats(v, dtype)) for v in m)
             gram_eigs_quartered = dct_ops.quartered_spectrum(gram_eigs)
     padded = None
-    if with_padded and len(m) == 2 and cfg.x_solver == "dct_pcg":
+    if with_padded and len(m) in (2, 3) and cfg.x_solver == "dct_pcg":
         from multivartv_tpu.solver import pad as pad_lib
         if pad_lib.needs_padding(m):
             # Aligned-lattice operator set for the padded solve routes

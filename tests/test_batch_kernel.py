@@ -247,8 +247,9 @@ def test_unaligned_gate_via_padding(setup_unaligned):
 def test_padded_batched_solve_matches_vmapped_jnp(setup_unaligned,
                                                   force_fused):
     """Padded fused solve converges to the same objective as the unpadded
-    vmapped jnp solve (transient iterates differ: the pad region has its
-    own ADMM dynamics; the OPTIMUM is provably identical — solver/pad.py)."""
+    vmapped jnp solve within the pad-distortion window (~1e-4 at
+    alignment pads: the TV term adds the edge slice's own TV inside the
+    pad — solver/pad.py accuracy note)."""
     ops, problems, lams, cfg = setup_unaligned
     s0 = _batched_state(ops, problems, lams)
     out = admm.admm_solve_batched(ops, problems, lams, s0, cfg)

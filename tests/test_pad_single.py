@@ -86,10 +86,10 @@ def test_pad_single_gate():
 
 
 def test_padded_single_solve_objective_parity(force_packed):
-    """The padded unbatched solve converges to the same objective as the
-    unpadded exact-f32 path (transient iterates differ — the pad region
-    has its own ADMM dynamics; the optimum is provably identical,
-    solver/pad.py docstring)."""
+    """The padded unbatched solve converges to the unpadded exact-f32
+    path's objective within the pad-distortion window (~1e-4 measured at
+    this alignment pad; the TV term adds the edge slice's own TV inside
+    the pad — solver/pad.py accuracy note)."""
     deltas = jnp.asarray([0.4, 0.6], jnp.float32)
     problem = _problem(MU)
     lam = jnp.asarray(0.08, jnp.float32)
@@ -168,6 +168,51 @@ def test_tile_divisor_never_cliffs(m0):
     assert t >= min(64, pk._tile_target(mp[1]))
     # Padding stays cheap: at most 56 extra rows over plain alignment.
     assert mp[0] - (-(-m0 // 8) * 8) <= 56
+
+
+def test_padded_3d_solve_objective_parity(force_packed):
+    """p = 3 unaligned lattices pad to (2, 8, 128) alignment (r4): the
+    padded solve converges to the unpadded exact-f32 objective within
+    the pad-distortion bound.  This case pads 76% of the lattice
+    ((5,7,100)->(6,8,128)) — far beyond any production pad fraction — and
+    measured 0.25% relative objective gap, the case that EXPOSED the
+    round-3 "provably exact" claim as wrong (solver/pad.py accuracy
+    note)."""
+    m3 = (5, 7, 100)                      # pads to (6, 8, 128)
+    deltas = jnp.asarray([0.5, 0.8, 1.2], jnp.float32)
+    problem = _problem(m3)
+    lam = jnp.asarray(0.08, jnp.float32)
+    # The pad region is 76% of the padded lattice here, so at the default
+    # tol the two arms stop at visibly different points of the TV plateau
+    # (0.25% objective slack measured); a tighter tol brings both to the
+    # common optimum and the parity assertion back to gate level.
+    cfg = SolverConfig(chunk_iters=1, tol=1e-5, max_iters=6000)
+    ops = build_operators(m3, deltas, cfg, jnp.float32)
+    assert pad_target_m(m3) == (6, 8, 128)
+    assert ops.padded is not None and ops.padded.m == (6, 8, 128)
+    assert ops.padded.dct_halves is not None
+    assert admm.pad_single_applies(ops, problem, cfg, batched=False)
+    s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+    out = admm.admm_solve(ops, problem, lam, s0, cfg)
+    assert out.theta.shape == m3
+    for a, bits in zip(out.alpha, ops.binaries):
+        mask = np.broadcast_to(np.asarray(diff_ops.edge_mask(m3, bits)), m3)
+        assert np.all(np.asarray(a)[mask == 0] == 0.0)
+    obj = _objective(ops, problem, out.theta, float(lam))
+
+    ref_cfg = SolverConfig(chunk_iters=1, xla_packed=False, tol=1e-5,
+                           max_iters=6000)
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
+        ref_ops = build_operators(m3, deltas, ref_cfg, jnp.float32)
+        ref = admm.admm_solve(ref_ops, problem, lam, s0, ref_cfg)
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    # padded objective sits one-sided ABOVE the true optimum by the
+    # pad-region TV (76% pad fraction here: measured 2.5e-3)
+    assert obj >= obj_ref - 1e-4 * abs(obj_ref)
+    assert abs(obj - obj_ref) <= 1e-2 * abs(obj_ref)
+    assert int(out.counter) < cfg.max_iters
 
 
 def test_mvtv_api_padded_route_matches(force_packed):
