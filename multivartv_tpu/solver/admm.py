@@ -373,11 +373,16 @@ def pad_single_applies(ops: Operators, problem: Problem, cfg: SolverConfig,
     from multivartv_tpu.solver import pad as pad_lib
     from multivartv_tpu.solver import xupdate as xup
     p = len(ops.m)
+    if not (not batched and p in (2, 3) and pad_lib.needs_padding(ops.m)):
+        return False
+    # Pad blow-up gate: tiny meshes (e.g. a 4x4x4 smoke) would pad to many
+    # times their size — pure waste (the jnp path is instant there) and
+    # the worst case for the pad-TV distortion (pad.py accuracy note).
+    m_pad = pad_lib.pad_target_m(ops.m)
+    if int(np.prod(m_pad)) > 4 * ops.ntheta:
+        return False
     return (
-        not batched
-        and p in (2, 3)
-        and pad_lib.needs_padding(ops.m)
-        and ops.deltas is not None
+        ops.deltas is not None
         and problem.counts.ndim == p
         and cfg.x_solver == "dct_pcg"
         and cfg.stop_rule == "boyd"   # padded Boyd norms use true sizes;

@@ -167,11 +167,17 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     padded = None
     if with_padded and len(m) in (2, 3) and cfg.x_solver == "dct_pcg":
         from multivartv_tpu.solver import pad as pad_lib
-        if pad_lib.needs_padding(m):
+        m_pad = pad_lib.pad_target_m(m)
+        # p == 2: always prebuilt (the batched CV route pads any unaligned
+        # 2-D mesh).  p == 3: only the unbatched route pads, which gates
+        # out >4x blow-ups (admm.pad_single_applies) — skip those builds.
+        blowup_ok = (len(m) == 2
+                     or int(np.prod(m_pad)) <= 4 * int(np.prod(m)))
+        if pad_lib.needs_padding(m) and blowup_ok:
             # Aligned-lattice operator set for the padded solve routes
             # (pad_target_m is aligned, so this does not recurse).
-            padded = build_operators(pad_lib.pad_target_m(m), deltas, cfg,
-                                     dtype, with_padded=False)
+            padded = build_operators(m_pad, deltas, cfg, dtype,
+                                     with_padded=False)
     return Operators(
         binaries=binaries,
         m=m,

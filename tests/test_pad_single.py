@@ -225,7 +225,7 @@ def test_mvtv_api_padded_route_matches(force_packed):
     x = rng.uniform(-1, 1, (n, 2))
     f = (x[:, 0] > 0.0).astype(float)
     y = f + rng.randn(n) * 0.2
-    kw = dict(m=(10, 12), n_lambda=4, folds=1)
+    kw = dict(m=(30, 100), n_lambda=4, folds=1)   # within the 4x blow-up gate
     padded = mvtv(x, y, **kw)
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(xupdate, "FORCE_XLA_PACKED", False)
