@@ -65,15 +65,27 @@ class MVTVModel:
     mesh_spec: MeshSpec = dataclasses.field(repr=False, default=None)
     solver_config: SolverConfig = dataclasses.field(repr=False, default=DEFAULT_SOLVER)
 
-    def predict(self, data=None) -> np.ndarray:
+    def predict(self, data=None, mesh=None) -> np.ndarray:
         """Fitted values for new data (predict.mvtv, MultivarTV.R:172-175;
         mbspredict, MultivarTV.cpp:55-71).  data=None returns stored
-        fitted values."""
+        fitted values.  mesh: optional explicit (ntheta, p) knot-point
+        matrix overriding the stored mesh for the nearest-knot assignment
+        (reference mesh argument, MultivarTV.cpp:61-66) — rows index
+        theta_hat (reference flat order) directly."""
         if data is None:
             return self.fitted
         data = np.asarray(data, np.float64)
         if data.ndim == 1:
             data = data[:, None]
+        if mesh is not None:
+            pts = np.asarray(mesh, np.float64)
+            if pts.ndim == 1:
+                pts = pts[:, None]
+            theta_hat = jnp.asarray(self.theta_hat)
+            idx = interp_ops.nearest_pointcloud_indices(
+                jnp.asarray(data, theta_hat.dtype),
+                jnp.asarray(pts, theta_hat.dtype))
+            return np.asarray(theta_hat[idx])
         theta = jnp.asarray(self.theta_lattice)
         fits = _jit_predict(self.mesh_spec, theta, jnp.asarray(data, theta.dtype))
         return np.asarray(fits)

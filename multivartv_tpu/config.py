@@ -30,6 +30,13 @@ class SolverConfig:
     adapt_rho: bool = True
     adapt_tau: float = 2.0
     adapt_band: float = 10.0
+    # Shrink factor for adaptive rho (rho /= adapt_tau_shrink when the
+    # dual residual exceeds band * primal).  None = adapt_tau (the
+    # symmetric reference C++ rule, solvers.cpp:77-94).  The standalone
+    # cpp-code sibling uses an ASYMMETRIC rule — grow x20, shrink /10,
+    # band 20 (cpp-code/solvers.cpp:71-88) — expressible here as
+    # adapt_tau=20, adapt_tau_shrink=10, adapt_band=20.
+    adapt_tau_shrink: Optional[float] = None
     # x-update linear solve: "dct_pcg" (DCT-preconditioned CG, default),
     # "jacobi_pcg" (Jacobi-preconditioned CG, works under lattice sharding),
     # "dct_direct" (exact only when every knot has the same sample count),
@@ -176,3 +183,51 @@ DEFAULT_SOLVER = SolverConfig()
 DEFAULT_PATH = PathConfig()
 DEFAULT_CV = CVConfig()
 DEFAULT_MESH = MeshConfig()
+
+
+def sibling_profile(name: str):
+    """Config bundles reproducing each reference sibling implementation's
+    solver behavior (the four siblings differ in stopping rule, adaptive-
+    rho constants, lambda grid and mesh EPS — SURVEY.md section 0).
+
+    Returns (SolverConfig, PathConfig, MeshConfig).  Note rho0/u0 are
+    runtime choices: the python/cpp_standalone siblings use rho0 = lambda
+    and u_fill = 1/lambda (initial_state(..., u_fill=...)).
+
+      "rcpp"           — the production R package (behavioral ground
+                         truth): Boyd stopping TOL=1e-4, symmetric
+                         adaptive rho tau=2/band=10, lam_max x5, grid
+                         ratio 1e-4, EPS=1e-4 (rcpp-code .../solvers.cpp,
+                         utils.hpp:14).
+      "python"         — the scipy prototype: elementwise theta stopping
+                         tol=1e-3, fixed rho, reduced block set, lam_max
+                         x prod(deltas), EPS=0.01 (code/solvers.py:15-78,
+                         code/utils.py:145,183).
+      "cpp_standalone" — the standalone Armadillo port: elementwise
+                         theta stopping tol=1e-3 (cpp-code/solvers.hpp:14),
+                         ASYMMETRIC adaptive rho grow x20 / shrink /10 /
+                         band 20 (cpp-code/solvers.cpp:71-88), unscaled
+                         lam_max (cpp-code/utils.cpp lam_max_pinv), grid
+                         ratio 1e-5 (cpp-code/solvers.cpp:187), cap 2000,
+                         EPS=0.01 (cpp-code/utils.cpp:14).
+    """
+    if name == "rcpp":
+        return SolverConfig(), PathConfig(), MeshConfig()
+    if name == "python":
+        return (
+            SolverConfig(stop_rule="theta_inf", adapt_rho=False, tol=1e-3,
+                         include_full_mixed=False, max_iters=5000),
+            PathConfig(lam_max_mode="py"),
+            MeshConfig(eps=0.01, delta_mode="py"),
+        )
+    if name == "cpp_standalone":
+        return (
+            SolverConfig(stop_rule="theta_inf", tol=1e-3, max_iters=2000,
+                         adapt_rho=True, adapt_tau=20.0,
+                         adapt_tau_shrink=10.0, adapt_band=20.0),
+            PathConfig(lam_max_mode="cpp", lam_max_scale=1.0,
+                       lambda_min_ratio=1e-5),
+            MeshConfig(eps=0.01),
+        )
+    raise ValueError(f"unknown sibling profile: {name!r} "
+                     "(expected rcpp | python | cpp_standalone)")

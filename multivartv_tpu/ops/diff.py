@@ -112,6 +112,40 @@ def edge_mask(shape: Sequence[int], b: Binary, dtype=jnp.float32) -> jax.Array:
     return out
 
 
+def true_region_mask(shape: Sequence[int], b: Binary,
+                     true_m: Sequence[int], dtype=jnp.float32) -> jax.Array:
+    """1 on block b's rows of the TRUE (unpadded) problem, 0 on every row
+    that reads or lives on an alignment-pad knot (solver/pad.py): along
+    axis j the valid indices are 0 .. true_m[j] - b_j - 1 (a differenced
+    row at index i reads knots i and i+1, so the last true row is
+    true_m[j] - 2).  With true_m == shape this reduces to edge_mask.
+
+    Used by the EXACT padded-solve route: the padded lattice keeps the
+    full uniform D (so the DCT diagonalization of D'D stays exact for the
+    x-update) and the TV penalty is masked to the true rows at the prox —
+    soft-threshold with threshold 0 is the identity, so masked rows carry
+    alpha = D theta - u, forcing u = 0 and a zero primal residual there.
+    The solved problem is then exactly
+    fid(theta_true) + lambda ||W D theta||_1, whose minimum over
+    theta_true is the true (unpadded) optimum — the reference solves the
+    same objective for any m (rcpp-code/MultivarTV/src/solvers.cpp:110-126).
+    """
+    shape = tuple(int(v) for v in shape)
+    out = jnp.ones((), dtype)
+    for j, bj in enumerate(b):
+        bound = int(true_m[j]) - bj
+        mj = shape[j]
+        if bound >= mj:
+            continue
+        mask = (jnp.arange(mj) < bound).astype(dtype)
+        s = [1] * len(shape)
+        s[j] = mj
+        out = out * mask.reshape(s)
+    if out.ndim == 0:
+        out = jnp.ones(shape, dtype)
+    return out
+
+
 def apply_block(theta: jax.Array, b: Binary) -> jax.Array:
     """Padded forward difference block: chained (shift - id) per differenced
     axis, then one combined edge mask (wrapped values only pollute rows the

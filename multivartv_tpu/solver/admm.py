@@ -107,7 +107,8 @@ def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
 def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                         cfg: SolverConfig, batched: bool = False,
                         stop_ntheta: int | None = None,
-                        stop_rows: int | None = None):
+                        stop_rows: int | None = None,
+                        true_m: tuple | None = None):
     """Build the single-iteration ADMM update (the while_loop body).
 
     Exposed separately so callers can take exactly one step (profiling,
@@ -116,6 +117,14 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
 
     stop_ntheta/stop_rows: override the Boyd threshold size constants —
     alignment-padded solves (solver/pad.py) pass the TRUE lattice sizes.
+    true_m: TRUE lattice dims on the exact padded route — the TV penalty
+    is masked to the true problem's rows at the prox (threshold kappa * w;
+    threshold 0 is the identity), so masked rows carry alpha = D theta - u
+    with u = 0 and zero primal residual, and the solved objective is
+    EXACTLY fid + lambda ||W D theta||_1 = the unpadded problem's optimum
+    over the true knots (ops/diff.py::true_region_mask).  The x-update
+    keeps the full uniform padded D, whose D'D the DCT diagonalizes
+    exactly.
     """
     dtype = problem.oty.dtype
     lam = jnp.asarray(lam, dtype)
@@ -175,6 +184,16 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             and problem.counts.ndim == len(ops.m)):
         counts_blocked = xup.counts_to_layout(ops, problem.counts, cfg)
 
+    # Exact padded route (true_m set): per-block TRUE-problem row masks
+    # for the jnp dual stage; the Pallas dual kernels build the same masks
+    # in-kernel from the static true_m.
+    wmasks = None
+    if true_m is not None and tuple(true_m) != tuple(ops.m):
+        wmasks = tuple(
+            diff_ops.true_region_mask(ops.m, b, true_m, dtype)
+            for b in ops.binaries)
+    kern_tm = tuple(true_m) if wmasks is not None else None
+
     def body(s: ADMMState) -> ADMMState:
         # x-update: b = O'y + rho D'(alpha + u_scale * u)
         if use_pallas:
@@ -196,15 +215,16 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             # every reduction the stopping/adaptation logic needs.
             if use_pallas:
                 alpha, u, stats = pk.dual_update_2d(
-                    theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale)
+                    theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
+                    true_m=kern_tm)
             elif use_tiled:
                 alpha, u, stats = pk.dual_update_tiled_2d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    interpret=FORCE_FUSED_INTERPRET)
+                    true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
             else:
                 alpha, u, stats = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    interpret=FORCE_FUSED_INTERPRET)
+                    true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
             primal_norm = jnp.sqrt(stats[0])
             d_theta_norm = jnp.sqrt(stats[1])
             alpha_norm = jnp.sqrt(stats[2])
@@ -214,9 +234,17 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             # z-update (prox) and dual update
             d_theta = ops.apply_D(theta)
             u_eff = tuple(s.u_scale * w for w in s.u)
-            alpha = soft_threshold_blocks(
-                tuple(dt - w for dt, w in zip(d_theta, u_eff)), lam / s.rho
-            )
+            z = tuple(dt - w for dt, w in zip(d_theta, u_eff))
+            if wmasks is None:
+                alpha = soft_threshold_blocks(z, lam / s.rho)
+            else:
+                # Exact padded route: threshold kappa * w (0 = identity on
+                # masked rows, which then carry alpha = D theta - u and a
+                # zero primal residual — see make_admm_iteration doc).
+                kap = lam / s.rho
+                alpha = tuple(
+                    jnp.sign(zz) * jnp.maximum(jnp.abs(zz) - kap * wmk, 0.0)
+                    for zz, wmk in zip(z, wmasks))
             primal_res = tuple(a - dt for a, dt in zip(alpha, d_theta))
             u = tuple(w + r for w, r in zip(u_eff, primal_res))
             # dual residual rho D'(u_new - u_old) = rho D'(primal_res)
@@ -224,8 +252,15 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             primal_norm = jnp.sqrt(diff_ops.blocks_norm_sq(primal_res))
             dual_norm = jnp.sqrt(jnp.sum(jnp.square(dual_res)))
             dtu_norm = jnp.sqrt(jnp.sum(jnp.square(ops.apply_Dt(u))))
-            d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(d_theta))
-            alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(alpha))
+            if wmasks is None:
+                d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(d_theta))
+                alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(alpha))
+            else:
+                # ||Dtheta|| / ||alpha|| count TRUE rows only.
+                d_theta_norm = jnp.sqrt(diff_ops.blocks_norm_sq(
+                    tuple(dt * wmk for dt, wmk in zip(d_theta, wmasks))))
+                alpha_norm = jnp.sqrt(diff_ops.blocks_norm_sq(
+                    tuple(a * wmk for a, wmk in zip(alpha, wmasks))))
         # Boyd thresholds (solvers.cpp:119-122)
         eps_dual = tol * (sqrt_ntheta + dtu_norm)
         eps_primal = tol * (sqrt_rowsd + jnp.maximum(d_theta_norm, alpha_norm))
@@ -247,10 +282,13 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         new_scale = jnp.ones((), dtype)
         if cfg.adapt_rho:
             tau = jnp.asarray(cfg.adapt_tau, dtype)
+            tau_s = jnp.asarray(
+                cfg.adapt_tau if cfg.adapt_tau_shrink is None
+                else cfg.adapt_tau_shrink, dtype)
             band = jnp.asarray(cfg.adapt_band, dtype)
             grow = primal_norm > band * dual_norm
             shrink = dual_norm > band * primal_norm
-            factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau, 1.0))
+            factor = jnp.where(grow, tau, jnp.where(shrink, 1.0 / tau_s, 1.0))
             rho = rho * factor
             new_scale = 1.0 / factor
         return ADMMState(
@@ -292,7 +330,8 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
                      state: ADMMState, cfg: SolverConfig,
                      k_iters: int,
                      stop_ntheta: int | None = None,
-                     stop_rows: int | None = None) -> ADMMState:
+                     stop_rows: int | None = None,
+                     true_m: tuple | None = None) -> ADMMState:
     """k_iters full ADMM iterations in ONE Pallas kernel — state stays
     VMEM-resident between iterations (ops/pallas_kernels.py::admm_iters_2d).
     Iteration-for-iteration identical math to make_admm_iteration."""
@@ -309,12 +348,16 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
     cbar = jnp.sum(problem.counts) / ops.ntheta
     n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
 
+    kern_tm = (tuple(true_m)
+               if true_m is not None and tuple(true_m) != tuple(ops.m)
+               else None)
     theta, u, alpha, rho, u_scale, stats = pk.admm_iters_2d(
         state.theta, state.u, state.alpha, problem.counts, problem.oty,
         ops.dct_halves, ops.gram_eigs_packed, lam, state.rho, state.u_scale,
         cbar, ops.scales, k_iters=k_iters, n_steps=n_steps,
-        adapt=cfg.adapt_rho, tau=cfg.adapt_tau, band=cfg.adapt_band,
-        interpret=FORCE_FUSED_INTERPRET)
+        adapt=cfg.adapt_rho, tau=cfg.adapt_tau,
+        tau_shrink=cfg.adapt_tau_shrink, band=cfg.adapt_band,
+        true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
 
     primal_norm = jnp.sqrt(stats[0])
     # The last iteration's dual norm used its *pre-adaptation* rho; with
@@ -376,8 +419,9 @@ def pad_single_applies(ops: Operators, problem: Problem, cfg: SolverConfig,
     if not (not batched and p in (2, 3) and pad_lib.needs_padding(ops.m)):
         return False
     # Pad blow-up gate: tiny meshes (e.g. a 4x4x4 smoke) would pad to many
-    # times their size — pure waste (the jnp path is instant there) and
-    # the worst case for the pad-TV distortion (pad.py accuracy note).
+    # times their size — pure waste (the jnp path is instant there; the
+    # exact prox-masked route keeps even huge pads objective-exact, so
+    # this is purely a compute-efficiency gate).
     m_pad = pad_lib.pad_target_m(ops.m)
     if int(np.prod(m_pad)) > 4 * ops.ntheta:
         return False
@@ -394,16 +438,17 @@ def pad_single_applies(ops: Operators, problem: Problem, cfg: SolverConfig,
 
 def _pad_for_single(ops: Operators, problem: Problem, state: ADMMState,
                     cfg: SolverConfig, batched: bool):
-    """(ops', problem', state', crop, stop_consts) — identity when the
-    single-problem padded route does not apply."""
+    """(ops', problem', state', crop, (stop_ntheta, stop_rows, true_m)) —
+    identity when the single-problem padded route does not apply.
+    true_m = the TRUE lattice dims, driving the exact penalty masks."""
     from multivartv_tpu.solver import pad as pad_lib
     if not pad_single_applies(ops, problem, cfg, batched):
-        return ops, problem, state, (lambda s: s), (None, None)
+        return ops, problem, state, (lambda s: s), (None, None, None)
     ops_p = pad_lib.padded_operators(ops, cfg)
     problem_p = pad_lib.pad_problem(problem, ops.m, ops_p.m)
     state_p = pad_lib.pad_state(state, ops.m, ops_p.m)
     crop = functools.partial(pad_lib.crop_state, ops=ops)
-    return ops_p, problem_p, state_p, crop, (ops.ntheta, ops.rows_d)
+    return ops_p, problem_p, state_p, crop, (ops.ntheta, ops.rows_d, ops.m)
 
 
 def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
@@ -420,16 +465,16 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
 
     Unaligned 2-D/3-D lattices on the fast-path backends are zero-count-
     padded to DMA alignment around the loop (solver/pad.py): one pad
-    before, one crop after, Boyd thresholds on TRUE sizes, objective
-    parity to ~1e-4 at alignment-sized pads (solver/pad.py accuracy
-    note).
+    before, one crop after, Boyd thresholds on TRUE sizes, and the TV
+    penalty prox-masked to the true rows so the padded solve minimizes
+    EXACTLY the true objective (solver/pad.py accuracy note).
     """
     chunk = resolve_chunk(cfg)
-    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_single(
+    ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
     per_iter_body = make_admm_iteration(ops, problem, lam, cfg,
                                         batched=batched, stop_ntheta=s_nt,
-                                        stop_rows=s_rd)
+                                        stop_rows=s_rd, true_m=t_m)
 
     def tail_cond(s):
         return _not_converged(s, cfg.max_iters)
@@ -437,7 +482,8 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
     if chunk > 1 and fused_iterations_available(ops, problem, cfg, batched):
         def chunk_body(s: ADMMState) -> ADMMState:
             return admm_fused_chunk(ops, problem, lam, s, cfg, chunk,
-                                    stop_ntheta=s_nt, stop_rows=s_rd)
+                                    stop_ntheta=s_nt, stop_rows=s_rd,
+                                    true_m=t_m)
 
         def chunk_cond(s: ADMMState):
             # Only take a full chunk when it cannot overshoot the cap.
@@ -492,9 +538,9 @@ def fused_batched_available(ops: Operators, problem: Problem,
     Unaligned/odd lattices (the reference-default m = floor(sqrt(N)) per
     axis is almost never DMA-aligned) still qualify via zero-count padding
     to the next (8, 128)-aligned size (solver/pad.py) — admm_solve_batched
-    pads/crops transparently; objective parity is exact for the fidelity
-    and within ~1e-4 for the TV term at alignment-sized pads (see
-    solver/pad.py accuracy note)."""
+    pads/crops transparently and prox-masks the TV penalty to the true
+    rows, so the padded solve is objective-EXACT (solver/pad.py accuracy
+    note)."""
     from multivartv_tpu.ops import pallas_kernels as pk
     from multivartv_tpu.solver import pad as pad_lib
     p = len(ops.m)
@@ -521,16 +567,16 @@ def fused_batched_available(ops: Operators, problem: Problem,
 
 def _pad_for_batched(ops: Operators, problem: Problem, state: ADMMState,
                      cfg: SolverConfig):
-    """(ops', problem', state', crop, stop_consts) — identity when the
-    lattice is already aligned."""
+    """(ops', problem', state', crop, (stop_ntheta, stop_rows, true_m)) —
+    identity when the lattice is already aligned."""
     from multivartv_tpu.solver import pad as pad_lib
     if not pad_lib.needs_padding(ops.m):
-        return ops, problem, state, (lambda s: s), (None, None)
+        return ops, problem, state, (lambda s: s), (None, None, None)
     ops_p = pad_lib.padded_operators(ops, cfg)
     problem_p = pad_lib.pad_problem(problem, ops.m, ops_p.m)
     state_p = pad_lib.pad_state(state, ops.m, ops_p.m)
     crop = functools.partial(pad_lib.crop_state, ops=ops)
-    return ops_p, problem_p, state_p, crop, (ops.ntheta, ops.rows_d)
+    return ops_p, problem_p, state_p, crop, (ops.ntheta, ops.rows_d, ops.m)
 
 
 def admm_fused_chunk_batched(ops: Operators, problem: Problem,
@@ -538,7 +584,8 @@ def admm_fused_chunk_batched(ops: Operators, problem: Problem,
                              cfg: SolverConfig, k_iters: int,
                              active: jax.Array | None = None,
                              stop_ntheta: int | None = None,
-                             stop_rows: int | None = None) -> ADMMState:
+                             stop_rows: int | None = None,
+                             true_m: tuple | None = None) -> ADMMState:
     """k_iters ADMM iterations on a BATCH of B problems in one kernel.
 
     state: batched ADMMState (leading axis B on every leaf).  lams: (B,).
@@ -564,12 +611,16 @@ def admm_fused_chunk_batched(ops: Operators, problem: Problem,
                         axis=tuple(range(1, p + 1))) / ops.ntheta
     n_steps = cfg.cg_fixed_iters if cfg.cg_fixed_iters is not None else 3
 
+    kern_tm = (tuple(true_m)
+               if true_m is not None and tuple(true_m) != tuple(ops.m)
+               else None)
     theta, u, alpha, rho, u_scale, stats = pk.admm_iters_2d_batched(
         state.theta, state.u, state.alpha, problem.counts, problem.oty,
         ops.dct_halves, ops.gram_eigs_packed, lams, state.rho,
         state.u_scale, cbars, ops.scales, k_iters=k_iters, n_steps=n_steps,
         active=active, adapt=cfg.adapt_rho, tau=cfg.adapt_tau,
-        band=cfg.adapt_band, interpret=FORCE_FUSED_INTERPRET)
+        tau_shrink=cfg.adapt_tau_shrink, band=cfg.adapt_band,
+        true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
 
     primal_norm = jnp.sqrt(stats[:, 0])
     rho_pre = rho * u_scale if cfg.adapt_rho else rho
@@ -627,11 +678,11 @@ def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
     (chunked phase stops chunk-1 short; a per-iteration tail finishes).
 
     Unaligned lattices are zero-count-padded to DMA alignment around the
-    whole loop (solver/pad.py): one pad before, one crop after; objective
-    parity to ~1e-4 at alignment-sized pads (solver/pad.py accuracy
-    note)."""
+    whole loop (solver/pad.py): one pad before, one crop after, TV
+    penalty prox-masked to the true rows — objective-EXACT
+    (solver/pad.py accuracy note)."""
     chunk = resolve_chunk(cfg)
-    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_batched(
+    ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_batched(
         ops, problem, state, cfg)
 
     def make_loop(k, maxc):
@@ -642,7 +693,7 @@ def admm_solve_batched(ops: Operators, problem: Problem, lams: jax.Array,
             act = _not_converged_vec(s, maxc)
             return admm_fused_chunk_batched(ops, problem, lams, s, cfg, k,
                                             active=act, stop_ntheta=s_nt,
-                                            stop_rows=s_rd)
+                                            stop_rows=s_rd, true_m=t_m)
         return cond, body
 
     if chunk > 1:
@@ -660,18 +711,18 @@ def admm_fixed_iterations_batched(ops: Operators, problem: Problem,
     chunked at the production cadence like admm_fixed_iterations."""
     chunk = min(resolve_chunk(cfg), n_iters)
     full, rem = divmod(n_iters, chunk)
-    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_batched(
+    ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_batched(
         ops, problem, state, cfg)
     state = jax.lax.fori_loop(
         0, full,
         lambda _, s: admm_fused_chunk_batched(ops, problem, lams, s, cfg,
                                               chunk, stop_ntheta=s_nt,
-                                              stop_rows=s_rd),
+                                              stop_rows=s_rd, true_m=t_m),
         state)
     if rem:
         state = admm_fused_chunk_batched(ops, problem, lams, state, cfg,
                                          rem, stop_ntheta=s_nt,
-                                         stop_rows=s_rd)
+                                         stop_rows=s_rd, true_m=t_m)
     return crop(state)
 
 
@@ -685,7 +736,7 @@ def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
     identical per-iteration math (adaptive rho + Boyd statistics every
     iteration), with the ADMM state VMEM-resident within each chunk.  Set
     cfg.chunk_iters = n_iters for the single-kernel upper-bound cadence."""
-    ops, problem, state, crop, (s_nt, s_rd) = _pad_for_single(
+    ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
     if fused_iterations_available(ops, problem, cfg, batched):
         chunk = min(resolve_chunk(cfg), n_iters)
@@ -693,14 +744,16 @@ def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
         state = jax.lax.fori_loop(
             0, full,
             lambda _, s: admm_fused_chunk(ops, problem, lam, s, cfg, chunk,
-                                          stop_ntheta=s_nt, stop_rows=s_rd),
+                                          stop_ntheta=s_nt, stop_rows=s_rd,
+                                          true_m=t_m),
             state)
         if rem:
             state = admm_fused_chunk(ops, problem, lam, state, cfg, rem,
-                                     stop_ntheta=s_nt, stop_rows=s_rd)
+                                     stop_ntheta=s_nt, stop_rows=s_rd,
+                                     true_m=t_m)
         return crop(state)
     body = make_admm_iteration(ops, problem, lam, cfg, batched=batched,
-                               stop_ntheta=s_nt, stop_rows=s_rd)
+                               stop_ntheta=s_nt, stop_rows=s_rd, true_m=t_m)
     return crop(jax.lax.fori_loop(0, n_iters, lambda _, s: body(s), state))
 
 

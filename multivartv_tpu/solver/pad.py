@@ -12,35 +12,34 @@ The fix is the package's own core trick (ops/diff.py padded blocks) applied
 one level up: EXTEND THE LATTICE with zero-count knots to the next aligned
 size and solve the padded problem.
 
-Accuracy (corrected in round 4 — the round-3 "provably exact" claim was
-wrong):
+Accuracy — EXACT as of round 5 (the round-3 "provably exact" claim for
+plain zero-count padding was wrong; round 4 measured the ~1e-4 TV bias and
+round 5 removed it):
   * the FIDELITY term is exact: padded knots have counts = 0 and
     contribute nothing;
-  * the TV penalty is NOT exactly preserved: replicating the edge slice
-    along a padded axis zeroes every diff crossing into or along that
-    axis inside the pad, but the diffs ALONG THE OTHER AXES inside the
-    pad duplicate the edge slice's own TV — the padded problem adds (at
-    most, for the replicated extension; the optimizer may do slightly
-    better) lambda * sum_j pad_width_j * TV_{other axes}(edge slice_j).
-    TV solutions have flat plateaus, so edge-slice TV is small and the
-    padded objective sits a one-sided hair ABOVE the true optimum:
-    measured relative objective gap vs the unpadded solve ~1e-4 at the
-    production 2-D alignment pads ((30,100)->(32,128) and even
-    (30,20)->(32,128)), ~2.5e-3 at an extreme 76%-pad 3-D case
-    ((5,7,100)->(6,8,128)).  Parity tests assert converged objectives
-    within these measured windows, like the matched-objective gate vs
-    the reference (solvers.cpp:110-126).
-  * An EXACT variant exists — mask the difference stencils at the TRUE
-    boundary so D has no rows touching pad knots (the uniform padded
-    operator then only serves as the DCT preconditioner, which tolerates
-    the boundary-localized perturbation) — but needs true-dim mask
-    parameters through every fused/tiled kernel; recorded as the named
-    next-round change.
+  * the TV penalty is made exact by masking it to the TRUE problem's
+    rows at the PROX, not by masking D: the x-update keeps the full
+    uniform padded D (so the DCT diagonalization of D'D stays an exact
+    solve/preconditioner) while the soft-threshold runs with threshold
+    kappa * w, where w is the 0/1 true-region row mask
+    (ops/diff.py::true_region_mask).  Threshold 0 is the identity, so a
+    masked row carries alpha = (D theta)_r - u_r, which forces u_r = 0
+    and a zero primal residual there after one iteration.  The solved
+    problem is exactly
+
+        min  fid(theta_true) + lambda ||W D theta||_1
+
+    whose W-masked rows read only true knots — its minimum over the true
+    knots IS the unpadded optimum (theta on pad knots is free and
+    harmlessly relaxed by the rho-coupling).  The reference solves the
+    same objective for every m (solvers.cpp:110-126); parity tests now
+    assert padded-vs-unpadded objectives at f32 convergence tolerance.
+  * The ||D theta|| / ||alpha|| reductions inside the Boyd thresholds
+    are W-masked too (r and u vanish on masked rows by construction), so
+    stopping semantics match the unpadded solve exactly.
 
 Boyd stopping uses the TRUE (unpadded) sqrt(ntheta)/sqrt(rows_d) constants
-— admm_solve_batched passes them through — so the convergence semantics
-match the unpadded solve up to the (near-zero) pad-region residual mass.
-"""
+— admm_solve_batched passes them through."""
 
 from __future__ import annotations
 
@@ -81,7 +80,7 @@ def pad_target_m(m: Tuple[int, ...]) -> Tuple[int, ...]:
     from multivartv_tpu.ops import pallas_kernels as pk
     m0 = -(-int(m[0]) // ALIGN[0]) * ALIGN[0]
     m1 = -(-int(m[1]) // ALIGN[1]) * ALIGN[1]
-    target = max(8, min(512, ((2 << 20) // (m1 * 4)) // 8 * 8))
+    target = pk._tile_target(m1)
     good = min(64, target)
     if m0 > target and pk._tile_rows((m0, m1)) < good:
         m0 = -(-m0 // good) * good

@@ -275,13 +275,25 @@ def solve_path_batch(ops: Operators, problems: Problem, lambdas: jax.Array,
     )
 
 
+_PATH_RES_FIELDS = ("train_mse", "test_mse", "iters", "cg_iters",
+                    "thetas", "fitted")
+
+
 def solve_path_checkpointed(ops: Operators, problem: Problem,
                             lambdas: jax.Array, cfg: SolverConfig,
                             pcfg: PathConfig, checkpoint_dir: str,
                             checkpoint_every: int = 10,
                             ftrue: Optional[jax.Array] = None) -> PathResult:
     """Resumable lambda path: scan in chunks, persist the warm-start carry
-    after each chunk, resume from the newest checkpoint if one exists."""
+    AND the chunk's per-lambda metrics after each chunk, resume from the
+    newest checkpoint if one exists.
+
+    A resumed run returns the FULL merged path (persisted prefix metrics
+    + freshly solved suffix); a checkpoint that already covers every
+    lambda returns the completed result as a no-op.  Only if the prefix
+    metrics are unavailable (a checkpoint directory written before result
+    persistence existed) does the result fall back to the remaining
+    lambdas, with a logged warning."""
     from multivartv_tpu.utils import checkpoint as ckpt
 
     lambdas = jnp.asarray(lambdas).reshape(-1)
@@ -293,31 +305,46 @@ def solve_path_checkpointed(ops: Operators, problem: Problem,
         state, done_idx = restored
         start = done_idx + 1
 
-    pieces = []
+    prior = ckpt.load_path_results(checkpoint_dir, start)
+    pieces = [] if prior is None else [
+        {k: jnp.asarray(v) for k, v in chunk.items()} for chunk in prior]
+    result_start = start if prior is None else 0
+    if prior is None and start > 0:
+        from multivartv_tpu.utils.logging import get_logger
+        get_logger().warning(
+            "checkpoint at %s has no persisted chunk metrics (pre-r5 "
+            "format); the result covers only the remaining %d lambdas",
+            checkpoint_dir, n - start)
+
     i = start
     while i < n:
         j = min(i + checkpoint_every, n)
         res = solve_path(ops, problem, lambdas[i:j], cfg, pcfg,
                          ftrue=ftrue, init_state=state)
         state = res.final_state
+        ckpt.save_path_results(
+            checkpoint_dir, i, j,
+            {f: getattr(res, f) for f in _PATH_RES_FIELDS})
         ckpt.save_path_state(checkpoint_dir, state, j - 1,
                              meta={"n_lambda": n})
-        pieces.append(res)
+        pieces.append({f: getattr(res, f) for f in _PATH_RES_FIELDS})
         i = j
 
     if not pieces:
+        # Fully covered with no recoverable metrics: nothing to merge.
         raise ValueError(
-            f"checkpoint already covers all {n} lambdas; delete "
-            f"{checkpoint_dir} to re-solve")
+            f"checkpoint already covers all {n} lambdas but holds no "
+            f"persisted metrics (pre-r5 format); delete {checkpoint_dir} "
+            f"to re-solve")
 
     def cat(field):
-        vals = [getattr(r, field) for r in pieces]
-        if vals[0] is None:
+        vals = [p.get(field) for p in pieces]
+        if any(v is None for v in vals):
             return None
         return jnp.concatenate(vals, axis=0)
 
     return PathResult(
-        lambdas=lambdas[start:],
+        lambdas=lambdas[result_start:],
         train_mse=cat("train_mse"),
         test_mse=cat("test_mse"),
         iters=cat("iters"),

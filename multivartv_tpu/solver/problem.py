@@ -148,7 +148,11 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     gram_eigs_blocked = None
     dct_quarters_lp = None
     gram_eigs_quartered = None
-    if (need_dct and max(m) <= 8192
+    # p = 1 never uses the folded/packed operand sets: the x-update is an
+    # exact cyclic-reduction tridiagonal solve (solver/tridiag.py), so
+    # the (n/2)^2 half-matrix builds would be pure memory waste at large
+    # n (134 MB at n = 8192).
+    if (need_dct and len(m) >= 2 and max(m) <= 8192
             and all(v % 2 == 0 for v in m)):
         dct_halves = tuple(dct_ops.dct_packed_halves(v, dtype) for v in m)
         gram_eigs_packed = dct_ops.pack_spectrum(gram_eigs)

@@ -129,7 +129,18 @@ def counts_to_layout(ops: Operators, counts, cfg: SolverConfig = None):
         return None
     vd = spectral_vec_dtype(ops, cfg) if cfg is not None else None
     if vd is not None:
-        out = tuple(c.astype(vd) for c in out)
+        # bf16 represents integer counts exactly only up to 256.  Above
+        # that the cast rounds the fidelity diagonal (a convergence-rate,
+        # not solution, concern: r0 stays exact f32 in the natural
+        # domain, and the product counts*v inside the CG matvec is
+        # bf16-rounded regardless of counts' storage dtype) — still, skip
+        # the cast whenever a CONCRETE counts array shows values above
+        # 256 so the dense-counts edge keeps a bit-exact diagonal
+        # (ADVICE r4).  Under a trace the cast stays on (the >2^23-knot
+        # auto regime implies > 2 x 10^9 samples for counts > 256/knot).
+        concrete = not isinstance(counts, jax.core.Tracer)
+        if not (concrete and float(jnp.max(counts)) > 256.0):
+            out = tuple(c.astype(vd) for c in out)
     return out
 
 
@@ -285,6 +296,16 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
 
     if cfg.x_solver == "dct_direct":
         x = dct_ops.shifted_solve(b, cbar, rho, ops.gram_eigs, ops.dct_mats)
+        return x, jnp.zeros((), jnp.int32)
+
+    from multivartv_tpu.solver import tridiag as tri
+    if tri.tridiag_applies(ops, cfg):
+        # p = 1: the system is tridiagonal — solved EXACTLY by cyclic
+        # reduction (solver/tridiag.py), any n, no padding, no CG.  This
+        # is the m = N fused-lasso regime's production path (vignette
+        # MultivarTV-intro.Rmd:111-118); vmappable, so batched CV folds
+        # ride it too.
+        x = tri.xupdate_tridiag(counts, b, rho, ops.scales[0])
         return x, jnp.zeros((), jnp.int32)
 
     if use_pallas and cfg.x_solver == "dct_pcg" and ops.dct_mats is not None:

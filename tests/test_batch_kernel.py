@@ -247,9 +247,10 @@ def test_unaligned_gate_via_padding(setup_unaligned):
 def test_padded_batched_solve_matches_vmapped_jnp(setup_unaligned,
                                                   force_fused):
     """Padded fused solve converges to the same objective as the unpadded
-    vmapped jnp solve within the pad-distortion window (~1e-4 at
-    alignment pads: the TV term adds the edge slice's own TV inside the
-    pad — solver/pad.py accuracy note)."""
+    vmapped jnp solve at f32 convergence tolerance: the r5 exact route
+    masks the TV penalty to the true problem's rows at the prox
+    (solver/pad.py accuracy note), eliminating the former ~1e-4
+    pad-distortion window (measured relative gap ~5e-7 here)."""
     ops, problems, lams, cfg = setup_unaligned
     s0 = _batched_state(ops, problems, lams)
     out = admm.admm_solve_batched(ops, problems, lams, s0, cfg)
@@ -266,7 +267,7 @@ def test_padded_batched_solve_matches_vmapped_jnp(setup_unaligned,
         obj_ref = _pseudo_obj(ops, problems.counts[b], problems.oty[b],
                               ref.theta[b], float(lams[b]))
         scale = max(abs(obj_ref), 1e-6)
-        assert abs(obj_pad - obj_ref) <= 2e-3 * scale, (b, obj_pad, obj_ref)
+        assert abs(obj_pad - obj_ref) <= 2e-5 * scale, (b, obj_pad, obj_ref)
         # Cropped blocks keep the real-lattice edge-zero convention.
         from multivartv_tpu.ops import diff as diff_ops
         for a, bits in zip(out.alpha, ops.binaries):
