@@ -43,6 +43,9 @@ extras (each guarded; a failure records a string instead of a number):
                             p=3 tiled dual/gram kernels)
   iters_per_s_8192          67M-knot single-chip throughput (quartered
                             layout, bf16 CG vectors)
+  iters_per_s_1d_1m         p=1 fused-lasso regime at 2^20 knots (exact
+                            transposed-layout cyclic-reduction x-update,
+                            solver/tridiag.py)
   sharded_config_iters_per_s_2048/_4096  the sharded-regime program's
                             per-chip floor, measured in the regime
                             sharding serves
@@ -353,6 +356,15 @@ def roofline_extra(measured: dict):
             "frac_of_floor_bound": r["frac_of_floor_bound"],
             "achieved_gbps": r["achieved_gbps"],
         }
+    meas1d = measured.get("1d_1m")
+    if isinstance(meas1d, (int, float)):
+        from multivartv_tpu.utils.roofline import model_report_1d
+        r = model_report_1d(1 << 20, measured_iters_per_s=float(meas1d))
+        out["1d_1m"] = {
+            "model_bound_iters_per_s": r["model_bound_iters_per_s"],
+            "frac_of_model_bound": r["frac_of_model_bound"],
+            "achieved_gbps": r["achieved_gbps"],
+        }
     return out
 
 
@@ -468,6 +480,12 @@ def main():
         extras["iters_per_s_256cube"] = guarded(
             "256^3", lambda: round(measure_scale(
                 cfg, (256, 256, 256), 1 << 22, 10, 60), 1))
+        # p = 1 long lattice (the m = N fused-lasso regime at scale):
+        # EXACT transposed-layout cyclic-reduction x-update, any n, no
+        # transform gate (solver/tridiag.py).
+        extras["iters_per_s_1d_1m"] = guarded(
+            "1d_2^20", lambda: round(measure_scale(
+                cfg, (1 << 20,), 1 << 22, 50, 350), 1))
 
         # The sharded-regime program (no Pallas, distributed-DCT PCG
         # config) on one chip, measured IN THE REGIME SHARDING SERVES
@@ -498,6 +516,7 @@ def main():
             "4096": extras.get("iters_per_s_4096"),
             "8192": extras.get("iters_per_s_8192"),
             "256cube": extras.get("iters_per_s_256cube"),
+            "1d_1m": extras.get("iters_per_s_1d_1m"),
         }))
 
     baseline = measure_reference_baseline()

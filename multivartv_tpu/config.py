@@ -82,6 +82,26 @@ class SolverConfig:
     # at 2048^2 and below the extra converts measured slightly SLOWER),
     # off below.  Only used where spectral_cg runs.
     spectral_vec_bf16: Optional[bool] = None
+    # Row-sharded tiled-kernel mode (parallel/tiled_shard.py): a small
+    # static key from register_shard_mesh(mesh, axis) naming the device
+    # mesh/axis the theta lattice's ROW axis is sharded over.  When set
+    # (and the shapes qualify), the tiled dual/rhs/gram-residual stages
+    # run per shard inside jax.shard_map with explicit ppermute halo
+    # exchange, instead of falling back to unfused jnp stencils.  Set by
+    # parallel/fit.py::_sharded_solver_config; None = unsharded.
+    tiled_shard_key: Optional[int] = None
+    # Auto-escape for the bf16-transform residual floor (unbatched
+    # solves): extreme count density (counts >> 1/knot, m << sqrt(N))
+    # floors the Boyd residuals ~2x above tol under the bf16 MXU
+    # transforms, spinning the solve to the iteration cap with the
+    # objective already exact to ~5e-7 (tests/test_xla_packed.py).  When
+    # True, the solver detects the plateau in-loop (no improvement of
+    # max(primal/eps, dual/eps) for ESCAPE_STALL_ITERS iterations) and
+    # FINISHES with exact-f32 transforms within the same iteration cap.
+    # Engaged only where an f32 dense-matrix preconditioner exists
+    # (max(m) <= 2048 — exactly the dense-counts regime); beyond that,
+    # xla_packed=False / jacobi_pcg remain the manual escapes.
+    bf16_residual_escape: bool = True
     # Convergence-check cadence for the fused multi-iteration kernel: run
     # this many ADMM iterations per kernel launch between Boyd stopping
     # checks (state stays VMEM-resident in between).  1 = check every

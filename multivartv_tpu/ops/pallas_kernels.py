@@ -1100,16 +1100,23 @@ def tiled_supported(m: Tuple[int, ...], binaries) -> bool:
 HALO = 8
 
 
-def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None):
+def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None, halo=None,
+                 hsem=None):
     """(predicate, async_copy) branch set loading tile tt's extended
     panel — rows [tt*T - H, tt*T + T + H) clamped at the lattice
     edge (edge halo rows keep stale scratch data; callers mask them).
     pl.multiple_of: T and H are multiples of 8 (H defaults to HALO == 8;
     the 3-D kernels pass H = m1 + 8), so every start is 8-aligned — the
-    hint lets Mosaic prove the sublane tiling."""
+    hint lets Mosaic prove the sublane tiling.
+
+    halo = (top_ref, bot_ref) ((H, width) VMEM refs, sharded-lattice
+    mode): edge tiles fill their out-of-slab halo rows from these instead
+    of leaving them for the caller to zero — the neighbor shard's
+    boundary rows (global-edge shards pass zero arrays).  hsem: DMA
+    semaphore for the halo copies."""
     H = HALO if H is None else H
     lo = pl.multiple_of(tt * T - H, 8)
-    return [
+    out = [
         (jnp.logical_and(tt > 0, tt < n_tiles - 1),
          pltpu.make_async_copy(src.at[pl.ds(lo, T + 2 * H), :], dst, sem)),
         (tt == 0,
@@ -1119,22 +1126,40 @@ def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None):
          pltpu.make_async_copy(src.at[pl.ds(lo, T + H), :],
                                dst.at[pl.ds(0, T + H), :], sem)),
     ]
+    if halo is not None:
+        top, bot = halo
+        out += [
+            (tt == 0,
+             pltpu.make_async_copy(top, dst.at[pl.ds(0, H), :], hsem)),
+            (tt == n_tiles - 1,
+             pltpu.make_async_copy(bot, dst.at[pl.ds(T + H, H), :], hsem)),
+        ]
+    return out
 
 
-def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None):
+def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
+                   hsems=None):
     """Double-buffered halo loads: start tile 0 at step 0, prefetch tile
     t+1 into the other buffer, then wait for tile t's copies.  scr[i] has
     a leading buffer axis of 2; sems has shape (2, len(ins)).  Returns
     the current-buffer index (traced).  H: halo rows per side (default
-    HALO; the 3-D flattened-rows kernels pass m1 + 8)."""
+    HALO; the 3-D flattened-rows kernels pass m1 + 8).
+
+    halos: optional list of (top_ref, bot_ref) per input (sharded-lattice
+    mode) — edge tiles DMA their out-of-slab halo rows from the neighbor
+    shard's boundary slabs instead of zeroing them; hsems has shape
+    (2, len(ins)) when halos is given."""
     H = HALO if H is None else H
     cur = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
 
     def issue(tt, buf, start):
         for i, (r, s) in enumerate(zip(ins, scr)):
+            halo = None if halos is None else halos[i]
+            hsem = None if halos is None else hsems.at[buf, i]
             for pred, cp in _halo_copies(tt, n_tiles, T, r, s.at[buf],
-                                         sems.at[buf, i], H=H):
+                                         sems.at[buf, i], H=H, halo=halo,
+                                         hsem=hsem):
                 @pl.when(pred)
                 def _(cp=cp):
                     cp.start() if start else cp.wait()
@@ -1148,6 +1173,11 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None):
         issue(t + 1, nxt, start=True)
 
     issue(t, cur, start=False)             # wait for tile t
+
+    if halos is not None:
+        # Sharded mode: edge halos were DMA'd from the neighbor slabs
+        # (zero arrays at true global edges), so nothing is stale.
+        return cur
 
     # Zero the rows the edge tiles do NOT DMA: the masks downstream rely
     # on x*0 == 0, which is FALSE for stale Inf/NaN VMEM bits — in a real
@@ -1168,18 +1198,32 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None):
     return cur
 
 
-def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m,
-                       theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-                       a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
-                       stats_ref,
-                       theta_s, u0_s, u1_s, u2_s, sems):
+def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, *refs):
     """Extended-panel dual stage: locals 0..T+2*HALO-1 map to global rows
     t*T-HALO .. t*T+T+HALO-1; outputs cover locals HALO..HALO+T-1;
     adjoints at local l read l-1, so halo-row values are computed too and
     zeroed where the global row is < 0 (the w[-1] == 0 convention).
     true_m: TRUE lattice dims for the exact padded-solve route (see
     _wmasks2) — masks the prox threshold and the ||Dtheta||/||alpha||
-    reductions to the true problem's rows."""
+    reductions to the true problem's rows.
+
+    sharded=True (the shard_map lattice-sharded variant): the HBM inputs
+    are this shard's ROW SLAB of the global lattice, preceded by an SMEM
+    global-row offset and per-input (HALO, m1) neighbor-boundary arrays
+    that fill the edge tiles' out-of-slab halo rows; m0 stays the GLOBAL
+    row count (all masks use global rows)."""
+    if sharded:
+        (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
+         theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+         a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
+         theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
+        halos = [(ht0, hb0), (ht1, hb1), (ht2, hb2), (ht3, hb3)]
+    else:
+        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+         a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
+         theta_s, u0_s, u1_s, u2_s, sems) = refs
+        halos = None
+        hsems = None
     t = pl.program_id(0)
     dtype = theta_s.dtype
     kappa = scal_ref[0]
@@ -1190,12 +1234,14 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m,
 
     ins = [theta_hbm, u0_hbm, u1_hbm, u2_hbm]
     scr = [theta_s, u0_s, u1_s, u2_s]
-    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems)
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems, halos=halos,
+                         hsems=hsems)
 
     theta = theta_s[cur]
     H = HALO
     R = T + 2 * H
-    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    off = off_ref[0] if sharded else 0
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H + off
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 1)
     mask0 = jnp.logical_and(g < m0 - 1, g >= 0).astype(dtype)
     mask1 = (col < m1 - 1).astype(dtype)
@@ -1305,7 +1351,7 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     shp = jax.ShapeDtypeStruct(m, dtype)
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles,
-                          true_m),
+                          true_m, False),
         grid=(n_tiles,),
         out_shape=tuple([shp] * 6) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
@@ -1319,12 +1365,76 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     return outs[0:3], outs[3:6], jnp.sum(outs[6], axis=0)
 
 
-def _tiled_rhs_kernel(T, m0, m1, n_tiles,
-                      a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm,
-                      oty_ref, scal_ref, b_ref,
-                      a0_s, a1_s, a2_s, u0_s, u1_s, u2_s, sems):
+def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
+                               halos_top, halos_bot, row_off: jax.Array,
+                               m0_global: int,
+                               kappa: jax.Array,
+                               scales: Tuple[jax.Array, ...],
+                               u_scale: jax.Array | None = None,
+                               true_m: Tuple[int, int] | None = None,
+                               interpret: bool = False,
+                               tile_rows: int | None = None):
+    """Shard-local dual stage (called INSIDE shard_map with the lattice
+    sharded over rows): theta/u are this shard's (m0_local, m1) slabs,
+    halos_top/halos_bot the 4 neighbor boundary arrays (HALO, m1) in
+    (theta, u0, u1, u2) order (zeros at global edges), row_off the global
+    row index of local row 0.  Returns (alpha (3), u_new (3),
+    stats-partial (5,)) — caller psums stats over the shard axis."""
+    m = tuple(int(v) for v in theta.shape)
+    dtype = theta.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    scal = jnp.stack([
+        jnp.asarray(kappa, dtype),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+    ])
+    off = jnp.asarray(row_off, jnp.int32).reshape(1)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    halo_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct(m, dtype)
+    outs = pl.pallas_call(
+        functools.partial(_tiled_dual_kernel, T, int(m0_global), m[1],
+                          n_tiles, true_m, True),
+        grid=(n_tiles,),
+        out_shape=tuple([shp] * 6) + (
+            jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
+        in_specs=[smem_spec] + [halo_spec] * 8 + [any_spec] * 4
+        + [smem_spec],
+        out_specs=tuple([tile_spec] * 6) + (smem_spec,),
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((2, 4)), pltpu.SemaphoreType.DMA((2, 4))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(off, halos_top[0], halos_top[1], halos_top[2], halos_top[3],
+      halos_bot[0], halos_bot[1], halos_bot[2], halos_bot[3],
+      theta, u[0], u[1], u[2], scal)
+    return outs[0:3], outs[3:6], jnp.sum(outs[6], axis=0)
+
+
+def _tiled_rhs_kernel(T, m0, m1, n_tiles, sharded, *refs):
     """b = oty + rho D'(alpha + u_scale u) on row panels with a one-row
-    top halo (adjoints read local l-1)."""
+    top halo (adjoints read local l-1).  sharded: see
+    _tiled_dual_kernel."""
+    if sharded:
+        (off_ref, h0, h1, h2, h3, h4, h5, b0, b1, b2, b3, b4, b5,
+         a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm,
+         oty_ref, scal_ref, b_ref,
+         a0_s, a1_s, a2_s, u0_s, u1_s, u2_s, sems, hsems) = refs
+        halos = [(h0, b0), (h1, b1), (h2, b2), (h3, b3), (h4, b4),
+                 (h5, b5)]
+    else:
+        (a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm,
+         oty_ref, scal_ref, b_ref,
+         a0_s, a1_s, a2_s, u0_s, u1_s, u2_s, sems) = refs
+        halos = None
+        hsems = None
     t = pl.program_id(0)
     dtype = oty_ref.dtype
     rho = scal_ref[0]
@@ -1335,11 +1445,13 @@ def _tiled_rhs_kernel(T, m0, m1, n_tiles,
 
     ins = [a0_hbm, a1_hbm, a2_hbm, u0_hbm, u1_hbm, u2_hbm]
     scr = [a0_s, a1_s, a2_s, u0_s, u1_s, u2_s]
-    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems)
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems, halos=halos,
+                         hsems=hsems)
 
     H = HALO
     R = T + 2 * H
-    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    off = off_ref[0] if sharded else 0
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H + off
     valid = (g >= 0).astype(dtype)
     au0 = (a0_s[cur] + uscale * u0_s[cur]) * valid
     au1 = (a1_s[cur] + uscale * u1_s[cur]) * valid
@@ -1371,7 +1483,7 @@ def rhs_tiled_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_tiled_rhs_kernel, T, m[0], m[1], n_tiles),
+        functools.partial(_tiled_rhs_kernel, T, m[0], m[1], n_tiles, False),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(m, dtype),
         in_specs=[any_spec] * 6 + [tile_spec,
@@ -1382,6 +1494,49 @@ def rhs_tiled_2d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
         interpret=interpret,
         compiler_params=_params(),
     )(alpha[0], alpha[1], alpha[2], u[0], u[1], u[2], oty, scal)
+    return out
+
+
+def rhs_tiled_2d_shard(alpha: Tuple[jax.Array, ...],
+                       u: Tuple[jax.Array, ...], halos_top, halos_bot,
+                       row_off: jax.Array, oty: jax.Array, rho: jax.Array,
+                       u_scale: jax.Array,
+                       scales: Tuple[jax.Array, ...],
+                       interpret: bool = False,
+                       tile_rows: int | None = None) -> jax.Array:
+    """Shard-local rhs stage (inside shard_map, rows sharded): halos in
+    (a0, a1, a2, u0, u1, u2) order."""
+    m = tuple(int(v) for v in oty.shape)
+    dtype = oty.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+        jnp.asarray(scales[0], dtype),
+        jnp.asarray(scales[1], dtype),
+        jnp.asarray(scales[2], dtype),
+    ])
+    off = jnp.asarray(row_off, jnp.int32).reshape(1)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    halo_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled_rhs_kernel, T, m[0], m[1], n_tiles, True),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(m, dtype),
+        in_specs=[smem_spec] + [halo_spec] * 12 + [any_spec] * 6
+        + [tile_spec, smem_spec],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 6
+        + [pltpu.SemaphoreType.DMA((2, 6)), pltpu.SemaphoreType.DMA((2, 6))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(off, *halos_top, *halos_bot,
+      alpha[0], alpha[1], alpha[2], u[0], u[1], u[2], oty, scal)
     return out
 
 
@@ -1421,25 +1576,33 @@ def _tiled_gram_kernel(T, m0, m1, n_tiles,
     out_ref[:] = counts_ref[:] * v[H:T + H] + acc[H:T + H]
 
 
-def _tiled_gram_res_kernel(T, m0, m1, n_tiles,
-                           v_hbm, counts_ref, b_ref, scal_ref, out_ref,
-                           v_s, sems):
+def _tiled_gram_res_kernel(T, m0, m1, n_tiles, sharded, *refs):
     """r0 = b - (counts + rho D'D) v on row panels — the gram matvec of
     _tiled_gram_kernel with the spectral-correction CG's initial-residual
     subtraction fused in (saves a separate read-Av/read-b/write-r0 XLA
-    pass per ADMM iteration)."""
+    pass per ADMM iteration).  sharded: see _tiled_dual_kernel."""
+    if sharded:
+        (off_ref, h_top, h_bot, v_hbm, counts_ref, b_ref, scal_ref,
+         out_ref, v_s, sems, hsems) = refs
+        halos = [(h_top, h_bot)]
+    else:
+        (v_hbm, counts_ref, b_ref, scal_ref, out_ref, v_s, sems) = refs
+        halos = None
+        hsems = None
     t = pl.program_id(0)
     dtype = counts_ref.dtype
     rho_smix = scal_ref[0]
     rho_sax1 = scal_ref[1]
     rho_sax0 = scal_ref[2]
 
-    cur = _halo_pingpong(t, n_tiles, T, [v_hbm], [v_s], sems)
+    cur = _halo_pingpong(t, n_tiles, T, [v_hbm], [v_s], sems, halos=halos,
+                         hsems=hsems)
     v = v_s[cur]
 
     H = HALO
     R = T + 2 * H
-    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H
+    off = off_ref[0] if sharded else 0
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 0) + t * T - H + off
     col = jax.lax.broadcasted_iota(jnp.int32, (R, m1), 1)
     mask0 = jnp.logical_and(g < m0 - 1, g >= 0).astype(dtype)
     mask1 = (col < m1 - 1).astype(dtype)
@@ -1472,7 +1635,8 @@ def gram_residual_tiled_2d(b: jax.Array, v: jax.Array, counts: jax.Array,
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_tiled_gram_res_kernel, T, m[0], m[1], n_tiles),
+        functools.partial(_tiled_gram_res_kernel, T, m[0], m[1], n_tiles,
+                          False),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(m, dtype),
         in_specs=[any_spec, tile_spec, tile_spec,
@@ -1483,6 +1647,47 @@ def gram_residual_tiled_2d(b: jax.Array, v: jax.Array, counts: jax.Array,
         interpret=interpret,
         compiler_params=_params(),
     )(v, counts, b, scal)
+    return out
+
+
+def gram_residual_tiled_2d_shard(b: jax.Array, v: jax.Array,
+                                 halo_top: jax.Array, halo_bot: jax.Array,
+                                 row_off: jax.Array, m0_global: int,
+                                 counts: jax.Array, rho: jax.Array,
+                                 scales: Tuple[jax.Array, ...],
+                                 interpret: bool = False,
+                                 tile_rows: int | None = None) -> jax.Array:
+    """Shard-local r0 = b - (counts + rho D'D) v (inside shard_map, rows
+    sharded); halo_top/halo_bot are v's neighbor boundary slabs."""
+    m = tuple(int(s) for s in v.shape)
+    dtype = v.dtype
+    T = tile_rows if tile_rows is not None else _tile_rows(m)
+    n_tiles = m[0] // T
+    rho = jnp.asarray(rho, dtype)
+    scal = jnp.stack([
+        rho * jnp.asarray(scales[0], dtype) ** 2,
+        rho * jnp.asarray(scales[1], dtype) ** 2,
+        rho * jnp.asarray(scales[2], dtype) ** 2,
+    ])
+    off = jnp.asarray(row_off, jnp.int32).reshape(1)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    halo_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled_gram_res_kernel, T, int(m0_global), m[1],
+                          n_tiles, True),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct(m, dtype),
+        in_specs=[smem_spec, halo_spec, halo_spec, any_spec, tile_spec,
+                  tile_spec, smem_spec],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)]
+        + [pltpu.SemaphoreType.DMA((2, 1)), pltpu.SemaphoreType.DMA((2, 1))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(off, halo_top, halo_bot, v, counts, b, scal)
     return out
 
 

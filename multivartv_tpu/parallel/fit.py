@@ -72,7 +72,10 @@ def default_lattice_mesh(p: int, devices=None,
     return make_device_mesh(shape, names, devices[:n]), names
 
 
-def _sharded_solver_config(cfg: SolverConfig) -> SolverConfig:
+def _sharded_solver_config(cfg: SolverConfig,
+                           device_mesh: Optional[Mesh] = None,
+                           spatial_axes: Optional[Sequence] = None,
+                           ) -> SolverConfig:
     """Adapt a SolverConfig for lattice sharding, LOUDLY.
 
     Whole-lattice Pallas kernels are turned off (they would force a
@@ -84,6 +87,14 @@ def _sharded_solver_config(cfg: SolverConfig) -> SolverConfig:
     remains selectable for a fully collective-free preconditioner; pass
     SolverConfig(x_solver="jacobi_pcg", cg_fixed_iters=10) explicitly.
 
+    Tiled kernels come BACK through their shard_map variants
+    (parallel/tiled_shard.py, r5) whenever the lattice's COLUMN axis is
+    unsharded: device_mesh/spatial_axes identify the row shard axis and
+    the config carries its registry key (tiled_shard_key); with neither
+    given, a mesh over all local devices' single row axis is registered —
+    on one chip that is exactly the single-chip tiled kernel family, the
+    sharded-regime per-chip floor the bench measures.
+
     Every field this function changes is logged at WARNING and visible on
     the returned model's solver_config — no silent rewrites."""
     changes = {}
@@ -93,6 +104,24 @@ def _sharded_solver_config(cfg: SolverConfig) -> SolverConfig:
         # Unbounded tol-driven CG under Jacobi can cost 30x the DCT path
         # per iteration (cg_max_iters=100); bound it.
         changes["cg_fixed_iters"] = 10
+    # Row-shard tiled-kernel key: applicable when axis 1 is NOT sharded
+    # (row-only lattice sharding; panel streaming needs no lane halos).
+    if cfg.tiled_shard_key is None:
+        row_axis = None
+        if device_mesh is None:
+            devices = jax.devices()
+            device_mesh = Mesh(np.asarray(devices), ("sx",))
+            row_axis = "sx"
+        elif spatial_axes:
+            col_unsharded = all(
+                a is None or device_mesh.shape[a] == 1
+                for a in list(spatial_axes)[1:])
+            if spatial_axes[0] is not None and col_unsharded:
+                row_axis = spatial_axes[0]
+        if row_axis is not None:
+            from multivartv_tpu.parallel import tiled_shard
+            changes["tiled_shard_key"] = tiled_shard.register_shard_mesh(
+                device_mesh, row_axis)
     if changes:
         from multivartv_tpu.utils.logging import get_logger
         get_logger().warning(
@@ -252,7 +281,6 @@ def mvtv_sharded(data, y, m=None, mesh=None, n_lambda: int = 100,
 
     if solver_config is None:
         solver_config = SolverConfig()
-    solver_config = _sharded_solver_config(solver_config)
     if path_config is None:
         path_config = PathConfig(n_lambda=n_lambda)
     elif path_config.n_lambda != n_lambda and n_lambda != 100:
@@ -272,6 +300,8 @@ def mvtv_sharded(data, y, m=None, mesh=None, n_lambda: int = 100,
                              if a in device_mesh.axis_names)[:p]
     if batch_axis is not None and batch_axis not in device_mesh.axis_names:
         batch_axis = None
+    solver_config = _sharded_solver_config(solver_config, device_mesh,
+                                           spatial_axes)
 
     spec = _resolve_mesh(data_np, y_np, m, mesh, mesh_config, dtype)
     data_j = jnp.asarray(data_np, dtype)

@@ -173,6 +173,19 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
         and problem.counts.ndim == len(ops.m)
     )
+    # Row-sharded lattice: the tiled kernels run per shard inside
+    # shard_map with ppermute halo exchange (parallel/tiled_shard.py) —
+    # the sharded-regime program keeps the single-chip kernel family
+    # instead of falling back to unfused jnp stencils (VERDICT r4 #5).
+    from multivartv_tpu.parallel import tiled_shard as ts
+    use_tiled_shard = (
+        cfg.tiled_shard_key is not None
+        and not batched
+        and not use_pallas and not use_tiled and not use_tiled3
+        and ts.shard_supported(ops.m, ops.binaries, cfg.tiled_shard_key)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
 
     # Loop-invariant layout conversion of counts for the large-lattice
     # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
@@ -203,14 +216,20 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             b = pk.rhs_tiled_2d(s.alpha, s.u, problem.oty, s.rho,
                                 s.u_scale, ops.scales,
                                 interpret=FORCE_FUSED_INTERPRET)
+        elif use_tiled_shard:
+            b = ts.rhs_tiled_2d_sharded(
+                cfg.tiled_shard_key, s.alpha, s.u, problem.oty, s.rho,
+                s.u_scale, ops.scales, interpret=FORCE_FUSED_INTERPRET)
         else:
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
             b = problem.oty + s.rho * ops.apply_Dt(au)
         theta, cg_it = solve_x(ops, problem.counts, cbar, b, s.rho, s.theta,
                                cfg, use_pallas=use_pallas,
                                counts_blocked=counts_blocked,
-                               tiled_ok=use_tiled, tiled3_ok=use_tiled3)
-        if use_pallas or use_tiled or use_tiled3:
+                               tiled_ok=use_tiled, tiled3_ok=use_tiled3,
+                               shard_key=(cfg.tiled_shard_key
+                                          if use_tiled_shard else None))
+        if use_pallas or use_tiled or use_tiled3 or use_tiled_shard:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.
             if use_pallas:
@@ -221,6 +240,11 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                 alpha, u, stats = pk.dual_update_tiled_2d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
                     true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
+            elif use_tiled_shard:
+                alpha, u, stats = ts.dual_update_tiled_2d_sharded(
+                    cfg.tiled_shard_key, theta, s.u, lam / s.rho,
+                    ops.scales, u_scale=s.u_scale, true_m=kern_tm,
+                    interpret=FORCE_FUSED_INTERPRET)
             else:
                 alpha, u, stats = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
@@ -390,6 +414,64 @@ def admm_fused_chunk(ops: Operators, problem: Problem, lam: jax.Array,
     )
 
 
+# bf16 residual-floor escape (SolverConfig.bf16_residual_escape): the
+# solve switches to exact-f32 transforms after this many iterations
+# without a >=1% improvement of max(primal/eps_primal, dual/eps_dual).
+# A healthy solve improves orders of magnitude over tens of iterations;
+# 200 flat ones is decisively the bf16 floor (or genuine stagnation,
+# where f32 is the right follow-up anyway).
+ESCAPE_STALL_ITERS = 200
+ESCAPE_IMPROVEMENT = 0.99
+
+
+def _bf16_escape_applies(ops: Operators, problem: Problem,
+                         cfg: SolverConfig, batched: bool) -> bool:
+    """Whether the stall-detect + f32-finish wrapper runs: an unbatched
+    Boyd solve whose x-update uses bf16 MXU transforms, on a lattice
+    where the exact-f32 dense-matrix preconditioner exists (dct_mats,
+    max(m) <= 2048 — which covers the entire dense-counts regime
+    m << sqrt(N) that exhibits the floor)."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    from multivartv_tpu.solver import xupdate as xup
+    if not (cfg.bf16_residual_escape and not batched
+            and cfg.x_solver == "dct_pcg" and cfg.stop_rule == "boyd"
+            and ops.dct_mats is not None
+            and problem.counts.ndim == len(ops.m)):
+        return False
+    if xup._xla_packed_applies(ops, cfg):
+        return True
+    return (cfg.use_pallas
+            and pk.xupdate_supported(ops.m, ops.binaries)
+            and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET))
+
+
+def _stalled_while(cond, body, state: ADMMState, step: int) -> ADMMState:
+    """while_loop with an extra stop condition: no >=1% improvement of
+    the worst residual ratio for ESCAPE_STALL_ITERS iterations.  step =
+    iterations per body call (the chunk cadence)."""
+    dtype = state.primal_norm.dtype
+    big = jnp.asarray(jnp.inf, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def cond_w(c):
+        s, best, since = c
+        return jnp.logical_and(cond(s), since < ESCAPE_STALL_ITERS)
+
+    def body_w(c):
+        s, best, since = c
+        s2 = body(s)
+        ratio = jnp.maximum(
+            s2.primal_norm / jnp.maximum(s2.eps_primal, tiny),
+            s2.dual_norm / jnp.maximum(s2.eps_dual, tiny))
+        improved = ratio < ESCAPE_IMPROVEMENT * best
+        return (s2, jnp.minimum(best, ratio),
+                jnp.where(improved, 0, since + step))
+
+    out, _, _ = jax.lax.while_loop(
+        cond_w, body_w, (state, big, jnp.zeros((), jnp.int32)))
+    return out
+
+
 def _not_converged(s: ADMMState, max_iters: int):
     not_done = jnp.logical_or(
         s.dual_norm > s.eps_dual, s.primal_norm > s.eps_primal
@@ -479,6 +561,21 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
     def tail_cond(s):
         return _not_converged(s, cfg.max_iters)
 
+    # bf16 residual-floor escape: the bf16-transform main loop also stops
+    # on a residual plateau, and a per-iteration EXACT-f32 tail finishes
+    # the solve — still within the same max_iters cap (the counter
+    # carries across phases).  Healthy solves never trigger the stall
+    # and reach the tail already converged (it no-ops).
+    escape = _bf16_escape_applies(ops, problem, cfg, batched)
+    if escape:
+        f32_cfg = dataclasses.replace(cfg, xla_packed=False,
+                                      use_pallas=False, chunk_iters=1)
+        tail_body = make_admm_iteration(ops, problem, lam, f32_cfg,
+                                        batched=batched, stop_ntheta=s_nt,
+                                        stop_rows=s_rd, true_m=t_m)
+    else:
+        tail_body = per_iter_body
+
     if chunk > 1 and fused_iterations_available(ops, problem, cfg, batched):
         def chunk_body(s: ADMMState) -> ADMMState:
             return admm_fused_chunk(ops, problem, lam, s, cfg, chunk,
@@ -489,10 +586,17 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
             # Only take a full chunk when it cannot overshoot the cap.
             return _not_converged(s, cfg.max_iters - chunk + 1)
 
-        state = jax.lax.while_loop(chunk_cond, chunk_body, state)
-        # Tail: per-iteration steps for the final < chunk iterations.
-        return crop(jax.lax.while_loop(tail_cond, per_iter_body, state))
+        if escape:
+            state = _stalled_while(chunk_cond, chunk_body, state, chunk)
+        else:
+            state = jax.lax.while_loop(chunk_cond, chunk_body, state)
+        # Tail: per-iteration steps for the final < chunk iterations
+        # (f32-exact when the escape is armed).
+        return crop(jax.lax.while_loop(tail_cond, tail_body, state))
 
+    if escape:
+        state = _stalled_while(tail_cond, per_iter_body, state, 1)
+        return crop(jax.lax.while_loop(tail_cond, tail_body, state))
     return crop(jax.lax.while_loop(tail_cond, per_iter_body, state))
 
 

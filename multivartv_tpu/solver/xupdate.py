@@ -251,7 +251,8 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             cfg: SolverConfig, use_pallas: bool = False,
             counts_blocked=None,
             tiled_ok: bool = False,
-            tiled3_ok: bool = False) -> Tuple[jax.Array, jax.Array]:
+            tiled3_ok: bool = False,
+            shard_key=None) -> Tuple[jax.Array, jax.Array]:
     """Returns (theta, cg_iters).
 
     counts_blocked: optional precomputed blocked layout of counts (loop-
@@ -260,7 +261,10 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
     tiled_ok: caller attests it is NOT under vmap and the lattice passes
     the tiled-kernel gate, so the Gram matvec may stream through the
     row-panel Pallas kernel (unfused jnp rolls measured ~10x the
-    unavoidable traffic at 4096^2)."""
+    unavoidable traffic at 4096^2).
+    shard_key: row-sharded tiled-kernel mode (parallel/tiled_shard.py) —
+    the spectral CG's initial residual streams through the shard_map
+    gram-residual kernel."""
 
     if tiled_ok:
         from multivartv_tpu.ops import pallas_kernels as pk
@@ -287,6 +291,17 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         def residual(bb, v):
             return pk.gram_residual_tiled_3d(
                 bb, v, counts, rho, ops.scales,
+                interpret=admm_mod.FORCE_FUSED_INTERPRET)
+    elif shard_key is not None:
+        from multivartv_tpu.parallel import tiled_shard as ts_mod
+        from multivartv_tpu.solver import admm as admm_mod
+
+        def matvec(v):
+            return counts * v + rho * ops.apply_gram(v)
+
+        def residual(bb, v):
+            return ts_mod.gram_residual_tiled_2d_sharded(
+                shard_key, bb, v, counts, rho, ops.scales,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
     else:
         def matvec(v):

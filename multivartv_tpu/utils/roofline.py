@@ -204,6 +204,55 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
     )
 
 
+def iteration_stages_1d(n: int) -> Tuple[Stage, ...]:
+    """Per-stage traffic model of one p = 1 ADMM iteration: jnp dual/rhs
+    stencils (one block) + the EXACT transposed-layout cyclic-reduction
+    x-update (solver/tridiag.py).
+
+    CR traffic: the reduction touches ~12 level-array passes per level
+    with level sizes summing to 2N (4 reads + 8 writes incl. the stored
+    even-row coefficients and the 4 shifted neighbor arrays), and the
+    back-substitution ~7 passes over the same geometric sum — modeled as
+    38 N elements end to end (as-written; the boundary fix-up concats
+    make each shifted array a materialized copy)."""
+    return (
+        # b = oty + rho D'(alpha + u_scale u), 1 block
+        Stage("rhs", reads=3, writes=1, note="jnp adjoint stencil"),
+        Stage("cr.setup", reads=1, writes=3,
+              note="bb = counts + g*diag_t; a, c bands"),
+        Stage("cr.reduce", reads=16, writes=8,
+              note="sum over levels = 2N per array pass"),
+        Stage("cr.backsub", reads=10, writes=4,
+              note="even coefficients re-read + interleave"),
+        # dual stage (jnp, 1 block): theta -> d; prox; r; u; 5 norms
+        Stage("dual", reads=4, writes=3,
+              note="jnp prox/dual + reductions (XLA-fused)"),
+    )
+
+
+def model_report_1d(n: int, kind: Optional[str] = None,
+                    measured_iters_per_s: Optional[float] = None) -> Dict:
+    """Roofline summary for one p = 1 iteration at n knots (the m = N
+    fused-lasso regime, vignette MultivarTV-intro.Rmd:111-118)."""
+    bw, tflops = device_peaks(kind)
+    bw_b = bw * 1e9
+    stages = iteration_stages_1d(n)
+    mb = sum(s.bytes_(n) for s in stages)
+    mt = sum(s.bytes_(n) / bw_b for s in stages)
+    rep = {
+        "m": [n],
+        "layout": "cr-transposed",
+        "peak_gbps": bw,
+        "model_gb_per_iter": round(mb / 1e9, 4),
+        "model_bound_iters_per_s": round(1.0 / mt, 1),
+    }
+    if measured_iters_per_s:
+        rep["measured_iters_per_s"] = round(measured_iters_per_s, 1)
+        rep["frac_of_model_bound"] = round(measured_iters_per_s * mt, 3)
+        rep["achieved_gbps"] = round(mb * measured_iters_per_s / 1e9, 1)
+    return rep
+
+
 def model_report(m: Tuple[int, ...], n_steps: int = 3,
                  layout: str = "quartered",
                  kind: Optional[str] = None,

@@ -98,6 +98,27 @@ def test_p1_fused_lasso_objective_vs_golden():
     assert int(out.cg_iters) == 0
 
 
+def test_transposed_layout_matches_flat(monkeypatch):
+    """The TPU-friendly transposed-layout CR (sublane even/odd splits)
+    is bit-compatible with the flat reference path."""
+    import multivartv_tpu.solver.tridiag as tri
+    rng = np.random.RandomState(2)
+    for n in (4096, 5000, 1 << 14):
+        counts = rng.poisson(2, n).astype(np.float32)
+        b = rng.randn(n).astype(np.float32)
+        assert (1 << (n - 1).bit_length()) >= tri._TRANSPOSED_MIN
+        x_t = np.asarray(xupdate_tridiag(
+            jnp.asarray(counts), jnp.asarray(b), jnp.float32(0.7),
+            jnp.float32(1.3)))
+        with pytest.MonkeyPatch.context() as mp:
+            mp.setattr(tri, "_TRANSPOSED_MIN", 1 << 30)
+            x_f = np.asarray(xupdate_tridiag(
+                jnp.asarray(counts), jnp.asarray(b), jnp.float32(0.7),
+                jnp.float32(1.3)))
+        scale = max(1.0, np.max(np.abs(x_f)))
+        assert np.max(np.abs(x_t - x_f)) / scale < 1e-6
+
+
 def test_p1_large_n_solves():
     """2^15 knots (past every transform gate) solve without padding."""
     rng = np.random.RandomState(7)
