@@ -1101,7 +1101,7 @@ HALO = 8
 
 
 def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None, halo=None,
-                 hsem=None):
+                 hsem=None, H_bot=None):
     """(predicate, async_copy) branch set loading tile tt's extended
     panel — rows [tt*T - H, tt*T + T + H) clamped at the lattice
     edge (edge halo rows keep stale scratch data; callers mask them).
@@ -1113,15 +1113,22 @@ def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None, halo=None,
     mode): edge tiles fill their out-of-slab halo rows from these instead
     of leaving them for the caller to zero — the neighbor shard's
     boundary rows (global-edge shards pass zero arrays).  hsem: DMA
-    semaphore for the halo copies."""
+    semaphore for the halo copies.
+
+    H_bot: bottom-halo row count when asymmetric (default = H).  A
+    kernel that only applies ADJOINT chains (up-shifts) needs no bottom
+    halo at all (H_bot = 0) — at 256^3 the m1+8-row halo is 26% of the
+    panel, so halving it is real bandwidth."""
     H = HALO if H is None else H
+    H_bot = H if H_bot is None else H_bot
     lo = pl.multiple_of(tt * T - H, 8)
     out = [
         (jnp.logical_and(tt > 0, tt < n_tiles - 1),
-         pltpu.make_async_copy(src.at[pl.ds(lo, T + 2 * H), :], dst, sem)),
+         pltpu.make_async_copy(src.at[pl.ds(lo, T + H + H_bot), :], dst,
+                               sem)),
         (tt == 0,
-         pltpu.make_async_copy(src.at[pl.ds(0, T + H), :],
-                               dst.at[pl.ds(H, T + H), :], sem)),
+         pltpu.make_async_copy(src.at[pl.ds(0, T + H_bot), :],
+                               dst.at[pl.ds(H, T + H_bot), :], sem)),
         (jnp.logical_and(tt == n_tiles - 1, tt > 0),
          pltpu.make_async_copy(src.at[pl.ds(lo, T + H), :],
                                dst.at[pl.ds(0, T + H), :], sem)),
@@ -1131,14 +1138,18 @@ def _halo_copies(tt, n_tiles, T, src, dst, sem, H=None, halo=None,
         out += [
             (tt == 0,
              pltpu.make_async_copy(top, dst.at[pl.ds(0, H), :], hsem)),
-            (tt == n_tiles - 1,
-             pltpu.make_async_copy(bot, dst.at[pl.ds(T + H, H), :], hsem)),
         ]
+        if H_bot:
+            out += [
+                (tt == n_tiles - 1,
+                 pltpu.make_async_copy(bot, dst.at[pl.ds(T + H, H_bot), :],
+                                       hsem)),
+            ]
     return out
 
 
 def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
-                   hsems=None):
+                   hsems=None, H_bot=None):
     """Double-buffered halo loads: start tile 0 at step 0, prefetch tile
     t+1 into the other buffer, then wait for tile t's copies.  scr[i] has
     a leading buffer axis of 2; sems has shape (2, len(ins)).  Returns
@@ -1148,8 +1159,10 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
     halos: optional list of (top_ref, bot_ref) per input (sharded-lattice
     mode) — edge tiles DMA their out-of-slab halo rows from the neighbor
     shard's boundary slabs instead of zeroing them; hsems has shape
-    (2, len(ins)) when halos is given."""
+    (2, len(ins)) when halos is given.  H_bot: asymmetric bottom halo
+    (see _halo_copies)."""
     H = HALO if H is None else H
+    H_bot = H if H_bot is None else H_bot
     cur = jax.lax.rem(t, 2)
     nxt = jax.lax.rem(t + 1, 2)
 
@@ -1159,7 +1172,7 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
             hsem = None if halos is None else hsems.at[buf, i]
             for pred, cp in _halo_copies(tt, n_tiles, T, r, s.at[buf],
                                          sems.at[buf, i], H=H, halo=halo,
-                                         hsem=hsem):
+                                         hsem=hsem, H_bot=H_bot):
                 @pl.when(pred)
                 def _(cp=cp):
                     cp.start() if start else cp.wait()
@@ -1190,11 +1203,12 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
         for s in scr:
             s[cur, :H, :] = jnp.zeros((H, s.shape[-1]), s.dtype)
 
-    @pl.when(t == n_tiles - 1)
-    def _():
-        for s in scr:
-            s[cur, s.shape[-2] - H:, :] = jnp.zeros((H, s.shape[-1]),
-                                                    s.dtype)
+    if H_bot:
+        @pl.when(t == n_tiles - 1)
+        def _():
+            for s in scr:
+                s[cur, s.shape[-2] - H_bot:, :] = jnp.zeros(
+                    (H_bot, s.shape[-1]), s.dtype)
     return cur
 
 
@@ -1837,17 +1851,32 @@ def _wmasks3(R, m, true_m, t, T, H, dtype):
     return out
 
 
-def _tiled3_dual_kernel(T, m, n_tiles, H, true_m,
-                        theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
-                        u5_hbm, u6_hbm, scal_ref,
-                        a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
-                        a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
-                        un4_ref, un5_ref, un6_ref, stats_ref,
-                        theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
-                        sems):
+def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
     """Fused p=3 dual stage on flat row panels: 7 forward-difference
     blocks, prox, dual ascent, and all five Boyd reductions in ONE pass
-    (contract of dual_update_2d, seven blocks)."""
+    (contract of dual_update_2d, seven blocks).
+
+    want_adjoints (r5): additionally WRITE the adjoint accumulations
+    dta = D'alpha_new and dtu = D'u_new (already computed on the panels
+    for the Boyd stats) as lattice outputs — the next iteration's rhs
+    b = oty + rho (dta + u_scale dtu) then collapses to a 4-array fused
+    elementwise pass instead of a full 15-read adjoint-stencil kernel."""
+    if want_adjoints:
+        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
+         u5_hbm, u6_hbm, scal_ref,
+         a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
+         a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
+         un4_ref, un5_ref, un6_ref, dta_ref, dtu_ref, stats_ref,
+         theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
+         sems) = refs
+    else:
+        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
+         u5_hbm, u6_hbm, scal_ref,
+         a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
+         a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
+         un4_ref, un5_ref, un6_ref, stats_ref,
+         theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
+         sems) = refs
     t = pl.program_id(0)
     m0, m1, m2 = m
     dtype = theta_s.dtype
@@ -1880,6 +1909,7 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m,
     a_sq = jnp.zeros((), dtype)
     dtr = None
     dtu = None
+    dta = None
     for k, b in enumerate(_BINARIES3):
         d_k = scales[k] * _fchain3(theta, b, m1, mask012)
         u_k = uscale * u_s[k][cur] * valid
@@ -1898,7 +1928,13 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m,
         tu = scales[k] * _achain3(un_k, b, m1)
         dtr = tr if dtr is None else dtr + tr
         dtu = tu if dtu is None else dtu + tu
+        if want_adjoints:
+            ta = scales[k] * _achain3(a_k, b, m1)
+            dta = ta if dta is None else dta + ta
 
+    if want_adjoints:
+        dta_ref[:] = dta[sl]
+        dtu_ref[:] = dtu[sl]
     stats_ref[t, 0] = p_sq
     stats_ref[t, 1] = d_sq
     stats_ref[t, 2] = a_sq
@@ -1906,13 +1942,18 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m,
     stats_ref[t, 4] = jnp.sum(dtu[sl] ** 2)
 
 
-def _tile_rows_3d(m: Tuple[int, int, int]) -> int:
-    """Flat-row panel height for the 3-D kernels: ~1 MB output panels,
-    multiple of 8, divides m0*m1, and at least the halo height m1 + 8
-    (so interior tiles' DMA starts stay in range)."""
+def _tile_rows_3d(m: Tuple[int, int, int], target_bytes: int = 1 << 20
+                  ) -> int:
+    """Flat-row panel height for the 3-D kernels: ~target_bytes output
+    panels (default 1 MB), multiple of 8, divides m0*m1, and at least
+    the halo height m1 + 8 (so interior tiles' DMA starts stay in
+    range).  The adjoint-only rhs kernel passes 2 MB: its top-only halo
+    frees the VMEM, and the T sweep at 256^3 measured 3.86/3.26/2.91 ms
+    at T = 512/1024/2048 (halo amortization keeps paying there, unlike
+    the 2-D kernels where larger panels LOSE)."""
     m0, m1, m2 = int(m[0]), int(m[1]), int(m[2])
     rows = m0 * m1
-    target = max(8, min(4096, ((1 << 20) // (m2 * 4)) // 8 * 8))
+    target = max(8, min(4096, (target_bytes // (m2 * 4)) // 8 * 8))
     H = m1 + 8
     # Loop start rounded DOWN to a multiple of 8: rows // 2 need not be
     # 8-aligned, and a non-8-aligned T would violate the pl.multiple_of
@@ -1950,10 +1991,13 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          kappa: jax.Array, scales: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
                          true_m: Tuple[int, int, int] | None = None,
+                         want_adjoints: bool = False,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed p=3 dual stage (contract of dual_update_2d:
-    returns (alpha_blocks, u_blocks, stats[5]))."""
+    returns (alpha_blocks, u_blocks, stats[5]); with want_adjoints,
+    (alpha_blocks, u_blocks, stats[5], dta, dtu) — see
+    _tiled3_dual_kernel)."""
     m = tuple(int(v) for v in theta.shape)
     m0, m1, m2 = m
     dtype = theta.dtype
@@ -1973,13 +2017,15 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
                              memory_space=pltpu.VMEM)
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct((rows, m2), dtype)
+    n_out = 16 if want_adjoints else 14
     outs = pl.pallas_call(
-        functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H, true_m),
+        functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H, true_m,
+                          want_adjoints),
         grid=(n_tiles,),
-        out_shape=tuple([shp] * 14) + (
+        out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
         in_specs=[any_spec] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=tuple([tile_spec] * 14) + (smem_stat,),
+        out_specs=tuple([tile_spec] * n_out) + (smem_stat,),
         scratch_shapes=[pltpu.VMEM((2, T + 2 * H, m2), dtype)] * 8
         + [pltpu.SemaphoreType.DMA((2, 8))],
         interpret=interpret,
@@ -1988,7 +2034,89 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
     unflat = lambda x: x.reshape(m)
     alpha = tuple(unflat(o) for o in outs[0:7])
     un = tuple(unflat(o) for o in outs[7:14])
+    if want_adjoints:
+        return (alpha, un, jnp.sum(outs[16], axis=0),
+                unflat(outs[14]), unflat(outs[15]))
     return alpha, un, jnp.sum(outs[14], axis=0)
+
+
+def _tiled3_rhs_kernel(T, m, n_tiles, H,
+                       a0_h, a1_h, a2_h, a3_h, a4_h, a5_h, a6_h,
+                       u0_h, u1_h, u2_h, u3_h, u4_h, u5_h, u6_h,
+                       oty_ref, scal_ref, b_ref,
+                       a0_s, a1_s, a2_s, a3_s, a4_s, a5_s, a6_s,
+                       u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s, sems):
+    """b = oty + rho D'(alpha + u_scale u) on flat row panels (p = 3,
+    7 blocks).  r4 kept this stage in jnp on the claim it was
+    near-optimal; the r5 dependency-chained slope probe measured it at
+    5.3 ms vs the 1.3 ms model bound at 256^3 — the single largest
+    stage — so it gets the same streaming treatment as the dual
+    (kernel 10)."""
+    t = pl.program_id(0)
+    m0, m1, m2 = m
+    dtype = oty_ref.dtype
+    rho = scal_ref[0]
+    uscale = scal_ref[1]
+    scales = [scal_ref[2 + k] for k in range(7)]
+
+    ins = [a0_h, a1_h, a2_h, a3_h, a4_h, a5_h, a6_h,
+           u0_h, u1_h, u2_h, u3_h, u4_h, u5_h, u6_h]
+    scr = [a0_s, a1_s, a2_s, a3_s, a4_s, a5_s, a6_s,
+           u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
+    # Adjoint-only stage: up-shifts never read below the panel, so the
+    # bottom halo is 0 — saves (m1+8)/T read amplification per input.
+    cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=H, H_bot=0)
+
+    R = T + H
+    g = jax.lax.broadcasted_iota(jnp.int32, (R, m2), 0) + t * T - H
+    valid = (g >= 0).astype(dtype)
+
+    sl = slice(H, T + H)
+    acc = None
+    for k, b in enumerate(_BINARIES3):
+        au = (scr[k][cur] + uscale * scr[7 + k][cur]) * valid
+        term = scales[k] * _achain3(au, b, m1)
+        acc = term if acc is None else acc + term
+    b_ref[:] = oty_ref[:] + rho * acc[sl]
+
+
+def rhs_tiled_3d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
+                 oty: jax.Array, rho: jax.Array, u_scale: jax.Array,
+                 scales: Tuple[jax.Array, ...],
+                 interpret: bool = False,
+                 tile_rows: int | None = None) -> jax.Array:
+    """Row-panel-streamed p=3 rhs (contract of rhs_2d, seven blocks)."""
+    m = tuple(int(v) for v in oty.shape)
+    m0, m1, m2 = m
+    dtype = oty.dtype
+    T = (tile_rows if tile_rows is not None
+         else (_tile_rows_3d(m, target_bytes=2 << 20)
+               or _tile_rows_3d(m)))   # gate guarantees the 1 MB divisor
+    H = m1 + 8
+    rows = m0 * m1
+    n_tiles = rows // T
+    scal = jnp.stack([
+        jnp.asarray(rho, dtype),
+        (jnp.ones((), dtype) if u_scale is None
+         else jnp.asarray(u_scale, dtype)),
+    ] + [jnp.asarray(s, dtype) for s in scales])
+    flat = lambda x: x.reshape(rows, m2)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    tile_spec = pl.BlockSpec((T, m2), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_tiled3_rhs_kernel, T, m, n_tiles, H),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((rows, m2), dtype),
+        in_specs=[any_spec] * 14 + [tile_spec,
+                                    pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=tile_spec,
+        scratch_shapes=[pltpu.VMEM((2, T + H, m2), dtype)] * 14
+        + [pltpu.SemaphoreType.DMA((2, 14))],
+        interpret=interpret,
+        compiler_params=_params(),
+    )(*[flat(a) for a in alpha], *[flat(w) for w in u], flat(oty), scal)
+    return out.reshape(m)
 
 
 def _tiled3_gram_res_kernel(T, m, n_tiles, H,

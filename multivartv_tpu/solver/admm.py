@@ -66,6 +66,14 @@ class ADMMState:
     eps_dual: jax.Array
     cg_iters: jax.Array
     u_scale: jax.Array
+    # Adjoint carries dta = D'alpha, dtu = D'u for the tiled-3D route
+    # (r5): the dual kernel computes them on its VMEM panels anyway (for
+    # the Boyd stats) and writes them out, so the next iteration's rhs
+    # b = oty + rho (dta + u_scale dtu) is a cheap fused elementwise pass
+    # instead of a 15-read adjoint-stencil kernel.  None on every other
+    # route; seeded by _seed_adjoints before a tiled-3D loop.
+    dta: jax.Array | None = None
+    dtu: jax.Array | None = None
 
 
 def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
@@ -102,6 +110,35 @@ def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
         cg_iters=jnp.zeros((), jnp.int32),
         u_scale=one,
     )
+
+
+def _tiled3_active(ops: Operators, problem: Problem, cfg: SolverConfig,
+                   batched: bool) -> bool:
+    """Whether the tiled-3D dual/rhs route runs (shared by
+    make_admm_iteration's gate and the dta/dtu seeding in admm_solve —
+    the while_loop carry structure must match the route)."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    return (
+        cfg.use_pallas
+        and not batched
+        and len(ops.m) == 3
+        and pk.tiled3_supported(ops.m, ops.binaries)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
+
+
+def _seed_adjoints(ops: Operators, problem: Problem, state: ADMMState,
+                   cfg: SolverConfig, batched: bool) -> ADMMState:
+    """Seed the dta/dtu adjoint carries before a tiled-3D loop (one jnp
+    adjoint pass outside the loop); no-op elsewhere or when already
+    seeded."""
+    if not _tiled3_active(ops, problem, cfg, batched):
+        return state
+    if state.dta is not None and state.dtu is not None:
+        return state
+    return dataclasses.replace(
+        state, dta=ops.apply_Dt(state.alpha), dtu=ops.apply_Dt(state.u))
 
 
 def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
@@ -160,19 +197,11 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
         and problem.counts.ndim == len(ops.m)
     )
-    # p = 3: the fused flat-row dual kernel + gram-residual kernel
-    # (kernels 10/11).  The jnp rhs adjoint stays in XLA — it measured
-    # near-optimal (1.8 ms at 256^3 vs 1.3 ms pure-bandwidth), unlike the
-    # dual stage's ~10 ms of unfusable stencil+reduction passes.
-    use_tiled3 = (
-        cfg.use_pallas
-        and not batched
-        and not use_pallas
-        and not use_tiled
-        and pk.tiled3_supported(ops.m, ops.binaries)
-        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
-        and problem.counts.ndim == len(ops.m)
-    )
+    # p = 3: the fused flat-row dual, rhs and gram-residual kernels
+    # (kernels 10/11 + the r5 rhs kernel — the jnp rhs measured 5.3 ms
+    # vs a 1.3 ms bound at 256^3 under an honest dependency-chained
+    # probe, the largest single stage).
+    use_tiled3 = _tiled3_active(ops, problem, cfg, batched)
     # Row-sharded lattice: the tiled kernels run per shard inside
     # shard_map with ppermute halo exchange (parallel/tiled_shard.py) —
     # the sharded-regime program keeps the single-chip kernel family
@@ -208,6 +237,9 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     kern_tm = tuple(true_m) if wmasks is not None else None
 
     def body(s: ADMMState) -> ADMMState:
+        # Adjoint carries pass through unchanged on every route except
+        # tiled-3D, which refreshes them from the dual kernel.
+        new_dta, new_dtu = s.dta, s.dtu
         # x-update: b = O'y + rho D'(alpha + u_scale * u)
         if use_pallas:
             b = pk.rhs_2d(s.alpha, s.u, problem.oty, s.rho, s.u_scale,
@@ -220,6 +252,14 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             b = ts.rhs_tiled_2d_sharded(
                 cfg.tiled_shard_key, s.alpha, s.u, problem.oty, s.rho,
                 s.u_scale, ops.scales, interpret=FORCE_FUSED_INTERPRET)
+        elif use_tiled3:
+            # r5: the dual kernel exported dta = D'alpha and dtu = D'u
+            # last iteration (they are computed on its VMEM panels for
+            # the Boyd stats anyway), so the rhs is ONE fused
+            # elementwise pass — replacing the 5.3 ms jnp adjoint
+            # stencils (or the 2.9 ms streamed rhs kernel, kept as
+            # pk.rhs_tiled_3d for the non-carried fallback) at 256^3.
+            b = problem.oty + s.rho * (s.dta + s.u_scale * s.dtu)
         else:
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
             b = problem.oty + s.rho * ops.apply_Dt(au)
@@ -246,9 +286,10 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                     ops.scales, u_scale=s.u_scale, true_m=kern_tm,
                     interpret=FORCE_FUSED_INTERPRET)
             else:
-                alpha, u, stats = pk.dual_update_tiled_3d(
+                alpha, u, stats, new_dta, new_dtu = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
+                    true_m=kern_tm, want_adjoints=True,
+                    interpret=FORCE_FUSED_INTERPRET)
             primal_norm = jnp.sqrt(stats[0])
             d_theta_norm = jnp.sqrt(stats[1])
             alpha_norm = jnp.sqrt(stats[2])
@@ -327,6 +368,8 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             eps_dual=stop_eps_dual,
             cg_iters=s.cg_iters + cg_it,
             u_scale=new_scale,
+            dta=new_dta,
+            dtu=new_dtu,
         )
 
     return body
@@ -554,6 +597,7 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
     chunk = resolve_chunk(cfg)
     ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
+    state = _seed_adjoints(ops, problem, state, cfg, batched)
     per_iter_body = make_admm_iteration(ops, problem, lam, cfg,
                                         batched=batched, stop_ntheta=s_nt,
                                         stop_rows=s_rd, true_m=t_m)
@@ -842,6 +886,7 @@ def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
     cfg.chunk_iters = n_iters for the single-kernel upper-bound cadence."""
     ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
+    state = _seed_adjoints(ops, problem, state, cfg, batched)
     if fused_iterations_available(ops, problem, cfg, batched):
         chunk = min(resolve_chunk(cfg), n_iters)
         full, rem = divmod(n_iters, chunk)

@@ -132,7 +132,10 @@ def pad_state(state, m, m_pad):
                     mode="edge")
     alpha = tuple(jnp.pad(a, _pad_widths(a, m, m_pad)) for a in state.alpha)
     u = tuple(jnp.pad(w, _pad_widths(w, m, m_pad)) for w in state.u)
-    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u)
+    # dta/dtu adjoint carries are lattice-shaped and route-specific:
+    # drop them; admm's _seed_adjoints rebuilds on the padded lattice.
+    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u,
+                               dta=None, dtu=None)
 
 
 def crop_state(state, ops: Operators):
@@ -149,4 +152,5 @@ def crop_state(state, ops: Operators):
     u = tuple(
         w[sel] * diff_ops.edge_mask(m, b, dtype)
         for w, b in zip(state.u, ops.binaries))
-    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u)
+    return dataclasses.replace(state, theta=theta, alpha=alpha, u=u,
+                               dta=None, dtu=None)

@@ -155,7 +155,10 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
         if store_theta:
             out["theta"] = state.theta
             out["fitted"] = fits
-        # Reset counters for the next lambda; keep theta/u/rho as warm start.
+        # Reset counters for the next lambda; keep theta/u/rho as warm
+        # start.  dta/dtu adjoint carries are stripped so the scan carry
+        # structure matches state0 (admm_solve re-seeds them per lambda
+        # — one jnp adjoint pass, negligible against a full solve).
         carry = dataclasses.replace(
             state,
             counter=jnp.zeros((), jnp.int32),
@@ -164,6 +167,8 @@ def solve_path(ops: Operators, problem: Problem, lambdas: jax.Array,
             dual_norm=jnp.ones((), fits.dtype),
             eps_primal=jnp.zeros((), fits.dtype),
             eps_dual=jnp.zeros((), fits.dtype),
+            dta=None,
+            dtu=None,
         )
         if not pcfg.warm_start:
             carry = initial_state(ops, problem, rho0)

@@ -146,7 +146,8 @@ def counts_to_layout(ops: Operators, counts, cfg: SolverConfig = None):
 
 def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
                          eigs_blocks, cbar, n_steps: int, counts_b,
-                         vec_dtype=None, residual=None):
+                         vec_dtype=None, residual=None,
+                         stack_elementwise: bool = False):
     """Fixed-step spectral-correction CG over tuple-of-blocks layouts.
 
     The mechanical core shared by the blocked (2^p halves) and quartered
@@ -160,7 +161,14 @@ def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
     direction update recomputes r/w in place (fuses into one
     read-{r,w,p} write-{p} pass) — and the final step skips the dead
     direction update entirely.  Identical arithmetic to the textbook
-    form, two fewer lattice passes per step."""
+    form, two fewer lattice passes per step.
+
+    stack_elementwise: stack all same-shaped blocks along a leading
+    axis for the elementwise stages (one big fused kernel each), slicing
+    back at the transform boundaries.  Kept for experimentation but OFF
+    in production: at 256^3 it measured SLOWER (5.98 vs 5.21 ms per
+    x-update) — the stack/unstack copies at each transform boundary cost
+    more than the per-block launch overheads they remove."""
     from multivartv_tpu.solver.cg import _poison_if_nonfinite
     f32 = jnp.float32
     eps = jnp.asarray(1e-30, f32)
@@ -168,6 +176,37 @@ def _spectral_cg_generic(b, rho, x0, matvec, to_b, from_b, fwd, inv,
 
     def bmap(f, *ts):
         return tuple(f(*xs) for xs in zip(*ts))
+
+    if stack_elementwise:
+        nblk = len(eigs_blocks)
+        E = jnp.stack([e.astype(f32) for e in eigs_blocks])
+        W = cbar + rho * E
+        C = jnp.stack(counts_b)
+
+        def unstack(S):
+            return tuple(S[i] for i in range(nblk))
+
+        r0 = residual(b, x0) if residual is not None else b - matvec(x0)
+        rh = jnp.stack(fwd(bmap(lambda v: v.astype(vd), to_b(r0))))
+        p = (rh.astype(f32) / W).astype(vd)
+        rz = jnp.sum(jnp.square(rh.astype(f32)) / W)
+        xh = jnp.zeros_like(rh)
+        for step in range(n_steps):
+            f = jnp.stack(fwd(bmap(
+                lambda c, v: (c * v.astype(c.dtype)).astype(vd),
+                unstack(C), inv(unstack(p)))))
+            ap = (f.astype(f32) + rho * E * p.astype(f32)).astype(vd)
+            pap = jnp.sum(p.astype(f32) * ap.astype(f32))
+            alpha_cg = rz / jnp.maximum(pap, eps)
+            xh = (xh.astype(f32) + alpha_cg * p.astype(f32)).astype(vd)
+            rh = (rh.astype(f32) - alpha_cg * ap.astype(f32)).astype(vd)
+            rz_new = jnp.sum(jnp.square(rh.astype(f32)) / W)
+            if step + 1 < n_steps:
+                beta = rz_new / jnp.maximum(rz, eps)
+                p = (rh.astype(f32) / W + beta * p.astype(f32)).astype(vd)
+            rz = rz_new
+        x = x0 + from_b(inv(unstack(xh))).astype(x0.dtype)
+        return (_poison_if_nonfinite(x, rz), jnp.asarray(n_steps, jnp.int32))
 
     def bdot(a, c):
         # f32 accumulation regardless of vector storage dtype.

@@ -64,6 +64,14 @@ _PEAKS = (
 _DEFAULT_PEAK = (819.0, 197.0)   # v5e-class
 
 
+# Fraction of book HBM bandwidth actually reachable by a streaming
+# read+write program: measured 660/819 = 0.81 on one v5e with a 512 MB
+# fold-proof jnp copy chain AND a Pallas BlockSpec copy (both identical).
+# Model bounds below keep using BOOK bandwidth for cross-round
+# comparability; model_report additionally reports the practical bound.
+PRACTICAL_BW_FRACTION = 0.81
+
+
 def device_peaks(kind: Optional[str] = None) -> Tuple[float, float]:
     """(HBM GB/s, bf16 TFLOP/s) for the current/named device kind."""
     if kind is None:
@@ -125,7 +133,14 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
     vb = 2 if vec_bf16 else 4
     B = (1 << len(m)) - 1   # difference blocks (2^p - 1)
     tf = _transform_flops_per_knot(m, layout)
+    # p = 3 tiled route (r5): the dual kernel carries dta = D'alpha and
+    # dtu = D'u out (2 extra writes), collapsing the rhs to a 4-array
+    # fused elementwise pass.
+    adjoint_carry = tiled and len(m) == 3
     stages = [
+        Stage("rhs", reads=3, writes=1,
+              note="b = oty + rho (dta + s dtu), fused elementwise")
+        if adjoint_carry else
         # b = oty + rho D'(alpha + u_scale u): B alpha + B u + oty -> b
         Stage("rhs", reads=2 * B + 1, writes=1,
               note="tiled rhs kernel (one pass)" if tiled
@@ -169,8 +184,10 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
         Stage("cg.from_blocks", reads=1, writes=1, elem_bytes=vb),
         Stage("cg.apply_dx", reads=2, writes=1, elem_bytes=(4 + vb) // 2,
               note="x = x0 + dx"),
-        # Dual stage: theta + B u -> B alpha + B u + Boyd stats
-        Stage("dual", reads=B + 1.0, writes=2.0 * B,
+        # Dual stage: theta + B u -> B alpha + B u (+ dta/dtu carries on
+        # the p=3 route) + Boyd stats
+        Stage("dual", reads=B + 1.0,
+              writes=2.0 * B + (2.0 if adjoint_carry else 0.0),
               note="tiled dual kernel (one pass, stats in-kernel)" if tiled
               else "jnp prox/dual stencils (multi-pass)"),
     ]
@@ -267,15 +284,17 @@ def model_report(m: Tuple[int, ...], n_steps: int = 3,
     bw_b = bw * 1e9
     fl_s = tflops * 1e12
 
-    def tally(stages):
+    def tally(stages, bw=None):
+        bw = bw_b if bw is None else bw
         byt = sum(s.bytes_(ntheta) for s in stages)
         flp = sum(s.flops(ntheta) for s in stages)
-        t = sum(max(s.bytes_(ntheta) / bw_b, s.flops(ntheta) / fl_s)
+        t = sum(max(s.bytes_(ntheta) / bw, s.flops(ntheta) / fl_s)
                 for s in stages)
         return byt, flp, t
 
-    mb, mf, mt = tally(iteration_stages(m, n_steps, layout,
-                                        vec_bf16=vec_bf16))
+    stages_m = iteration_stages(m, n_steps, layout, vec_bf16=vec_bf16)
+    mb, mf, mt = tally(stages_m)
+    _, _, mt_prac = tally(stages_m, bw=bw_b * PRACTICAL_BW_FRACTION)
     fb, ff, ft = tally(floor_stages(m, n_steps, layout, vec_bf16=vec_bf16))
     if vec_bf16 is None:
         vec_bf16 = ntheta > (1 << 23)
@@ -292,12 +311,18 @@ def model_report(m: Tuple[int, ...], n_steps: int = 3,
         "floor_gb_per_iter": round(fb / 1e9, 4),
         "floor_bound_iters_per_s": round(1.0 / ft, 1),
     }
+    # Practical bound: the same as-written model at the MEASURED
+    # streaming ceiling (0.81 x book bandwidth on this v5e) — what a
+    # perfectly-scheduled version of the written program could reach.
+    rep["practical_bound_iters_per_s"] = round(1.0 / mt_prac, 1)
     if measured_iters_per_s:
         rep["measured_iters_per_s"] = round(measured_iters_per_s, 1)
         rep["frac_of_model_bound"] = round(
             measured_iters_per_s * mt, 3)
         rep["frac_of_floor_bound"] = round(
             measured_iters_per_s * ft, 3)
+        rep["frac_of_practical_bound"] = round(
+            measured_iters_per_s * mt_prac, 3)
         rep["achieved_gbps"] = round(mb * measured_iters_per_s / 1e9, 1)
     return rep
 

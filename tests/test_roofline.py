@@ -21,15 +21,22 @@ def test_floor_below_model():
 
 
 def test_block_count_scales_with_p():
-    """p=3 has 7 difference blocks: the rhs/dual stages must move more
-    arrays than at p=2 (the r4 fix — the p=2 hardcoding made the 256^3
-    bound meaningless)."""
+    """p=3 has 7 difference blocks: the dual stage must move more arrays
+    than at p=2 (the r4 fix — the p=2 hardcoding made the 256^3 bound
+    meaningless).  r5: the tiled p=3 route carries dta/dtu adjoints out
+    of the dual (2 extra writes) and its rhs collapses to a 4-array
+    fused elementwise pass (the untiled p=3 model keeps the stencil
+    rhs)."""
     s2 = {s.name: s for s in rl.iteration_stages((2048, 2048),
                                                  vec_bf16=False)}
     s3 = {s.name: s for s in rl.iteration_stages((256, 256, 256),
                                                  vec_bf16=False)}
-    assert s2["rhs"].reads == 7 and s3["rhs"].reads == 15
-    assert s2["dual"].writes == 6 and s3["dual"].writes == 14
+    assert s2["rhs"].reads == 7 and s3["rhs"].reads == 3
+    assert s2["dual"].writes == 6 and s3["dual"].writes == 16
+    s3u = {s.name: s for s in rl.iteration_stages((256, 256, 256),
+                                                  vec_bf16=False,
+                                                  tiled=False)}
+    assert s3u["rhs"].reads == 15 and s3u["dual"].writes == 14
 
 
 def test_bf16_halves_cg_traffic():

@@ -230,11 +230,12 @@ def test_spectral_bf16_dense_counts_objective(force_packed, monkeypatch):
     cfg = SolverConfig(chunk_iters=1, spectral_cg=True,
                        spectral_vec_bf16=True)
     ops = build_operators(m, deltas, cfg, jnp.float32)
-    # The escape is ARMED for this regime (the real floor only
-    # manifests on TPU hardware — CPU's XLA computes the bf16 matmuls at
-    # effectively higher precision, so here the solve converges with or
-    # without it; the on-chip behavior is pinned by
-    # tests/test_tpu_live.py::test_bf16_floor_escape_on_chip).
+    # The escape is ARMED for this regime.  The floor itself is a
+    # hardware/version-dependent hazard: CPU's XLA computes the bf16
+    # matmuls at effectively higher precision (no floor here), and at
+    # the r5 head it no longer reproduced at this size on chip either —
+    # these tests pin the MECHANISM (stall detector + f32 tail), which
+    # stays on as cheap insurance.
     assert admm._bf16_escape_applies(ops, problem, cfg, batched=False)
     s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
     out = jax.jit(
