@@ -201,7 +201,87 @@ def test_padded_batched_kernel_on_chip():
                     y=problems.y[b]),
             ref.theta[b], float(lams[b]))
         assert np.isfinite(obj)
-        assert abs(obj - obj_ref) <= 2e-3 * max(abs(obj_ref), 1e-6)
+        # r5 exact padded route (TV prox-masked to true rows): converged
+        # objectives agree at f32 tolerance, not the old ~1e-4 pad bias.
+        assert abs(obj - obj_ref) <= 5e-5 * max(abs(obj_ref), 1e-6)
+
+
+def test_tridiag_cr_on_chip():
+    """p=1 transposed-layout cyclic reduction on real hardware: the exact
+    solve matches a float64 host reference at f32 accuracy (the
+    lane-vs-sublane layout behavior only exists on the chip)."""
+    from multivartv_tpu.solver.tridiag import xupdate_tridiag
+    n = 1 << 14
+    rng = np.random.RandomState(11)
+    counts_np = rng.poisson(2, n).astype(np.float32)
+    b_np = rng.randn(n).astype(np.float32)
+    rho, s = 0.7, 1.3
+
+    @jax.jit
+    def run(c, b):
+        return xupdate_tridiag(c, b, jnp.float32(rho), jnp.float32(s))
+
+    x = np.asarray(jax.block_until_ready(
+        run(jnp.asarray(counts_np), jnp.asarray(b_np))))
+    # Host float64 reference via the Thomas recurrence.
+    g = rho * s * s
+    diag = counts_np.astype(np.float64) + g * (
+        2.0 - (np.arange(n) == 0) - (np.arange(n) == n - 1))
+    low = np.full(n, -g); low[0] = 0.0
+    up = np.full(n, -g); up[-1] = 0.0
+    cp = np.zeros(n); dp = np.zeros(n)
+    cp[0] = up[0] / diag[0]; dp[0] = b_np[0] / diag[0]
+    for i in range(1, n):
+        den = diag[i] - low[i] * cp[i - 1]
+        cp[i] = up[i] / den
+        dp[i] = (b_np[i] - low[i] * dp[i - 1]) / den
+    x_ref = np.zeros(n); x_ref[-1] = dp[-1]
+    for i in range(n - 2, -1, -1):
+        x_ref[i] = dp[i] - cp[i] * x_ref[i + 1]
+    scale = max(1.0, np.max(np.abs(x_ref)))
+    assert np.max(np.abs(x - x_ref)) / scale < 5e-6
+
+
+def test_tiled_shard_kernels_on_chip():
+    """The shard_map tiled-kernel program (parallel/tiled_shard.py) on
+    the real chip (1-device row mesh — the degenerate case the sharded-
+    config bench floor measures): converged objective parity vs the
+    plain tiled path."""
+    from jax.sharding import Mesh
+    from multivartv_tpu.parallel import tiled_shard as ts
+    m = (2048, 2048)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("sx",))
+    key = ts.register_shard_mesh(mesh, "sx")
+    deltas = jnp.asarray([2.0 / v for v in m], jnp.float32)
+    cfg = SolverConfig(use_pallas=False, tiled_shard_key=key,
+                       cg_fixed_iters=3, chunk_iters=1, max_iters=8,
+                       tol=1e-12, adapt_rho=False)
+    ops = build_operators(m, deltas, cfg, jnp.float32)
+    assert ts.shard_supported(m, ops.binaries, key)
+    rng = np.random.RandomState(5)
+    counts = jnp.asarray(rng.poisson(1, m).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+    problem = Problem(counts=counts, oty=oty,
+                      ybar=jnp.sum(oty) / jnp.sum(counts),
+                      flat_idx=jnp.zeros((1,), jnp.int32),
+                      y=jnp.zeros((1,), jnp.float32))
+    lam = jnp.asarray(0.05, jnp.float32)
+
+    def solve(c):
+        @jax.jit
+        def run():
+            s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+            return admm.admm_solve(ops, problem, lam, s0, c)
+        return jax.block_until_ready(run())
+
+    out = solve(cfg)
+    ref = solve(dataclasses.replace(cfg, tiled_shard_key=None,
+                                    use_pallas=True))
+    assert int(out.counter) == int(ref.counter) == 8
+    obj = _objective(ops, problem, out.theta, float(lam))
+    obj_ref = _objective(ops, problem, ref.theta, float(lam))
+    assert np.isfinite(obj)
+    assert abs(obj - obj_ref) <= 1e-4 * abs(obj_ref), (obj, obj_ref)
 
 
 def test_tiled_kernels_on_chip():
