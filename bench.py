@@ -352,8 +352,10 @@ def roofline_extra(measured: dict):
         out[key] = {
             "model_bound_iters_per_s": r["model_bound_iters_per_s"],
             "floor_bound_iters_per_s": r["floor_bound_iters_per_s"],
+            "practical_bound_iters_per_s": r["practical_bound_iters_per_s"],
             "frac_of_model_bound": r["frac_of_model_bound"],
             "frac_of_floor_bound": r["frac_of_floor_bound"],
+            "frac_of_practical_bound": r["frac_of_practical_bound"],
             "achieved_gbps": r["achieved_gbps"],
         }
     meas1d = measured.get("1d_1m")

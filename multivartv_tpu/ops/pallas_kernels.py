@@ -1212,7 +1212,8 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
     return cur
 
 
-def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, *refs):
+def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, want_adjoints,
+                       *refs):
     """Extended-panel dual stage: locals 0..T+2*HALO-1 map to global rows
     t*T-HALO .. t*T+T+HALO-1; outputs cover locals HALO..HALO+T-1;
     adjoints at local l read l-1, so halo-row values are computed too and
@@ -1225,17 +1226,35 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, *refs):
     are this shard's ROW SLAB of the global lattice, preceded by an SMEM
     global-row offset and per-input (HALO, m1) neighbor-boundary arrays
     that fill the edge tiles' out-of-slab halo rows; m0 stays the GLOBAL
-    row count (all masks use global rows)."""
+    row count (all masks use global rows).
+
+    want_adjoints (r5, mirrors the p=3 kernel): additionally write
+    dta = D'alpha_new and dtu = D'u_new (computed for the Boyd stats
+    anyway), collapsing the next iteration's rhs to a fused elementwise
+    pass."""
     if sharded:
-        (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
-         theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-         a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
-         theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
+        if want_adjoints:
+            (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
+             theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
+             dta_ref, dtu_ref, stats_ref,
+             theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
+        else:
+            (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
+             theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
+             theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
         halos = [(ht0, hb0), (ht1, hb1), (ht2, hb2), (ht3, hb3)]
     else:
-        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-         a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
-         theta_s, u0_s, u1_s, u2_s, sems) = refs
+        if want_adjoints:
+            (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
+             dta_ref, dtu_ref, stats_ref,
+             theta_s, u0_s, u1_s, u2_s, sems) = refs
+        else:
+            (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
+             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
+             theta_s, u0_s, u1_s, u2_s, sems) = refs
         halos = None
         hsems = None
     t = pl.program_id(0)
@@ -1311,6 +1330,11 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, *refs):
     dtr = s_mix * _adj0(_adj1(r0)) + s_ax1 * _adj1(r1) + s_ax0 * _adj0(r2)
     dtu = (s_mix * _adj0(_adj1(un0)) + s_ax1 * _adj1(un1)
            + s_ax0 * _adj0(un2))
+    if want_adjoints:
+        dta = (s_mix * _adj0(_adj1(a0)) + s_ax1 * _adj1(a1)
+               + s_ax0 * _adj0(a2))
+        dta_ref[:] = dta[sl]
+        dtu_ref[:] = dtu[sl]
 
     # Per-tile PARTIAL stats, one row per grid step (summed by the
     # wrapper): accumulating into one SMEM output block across grid steps
@@ -1340,10 +1364,12 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          kappa: jax.Array, scales: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
                          true_m: Tuple[int, int] | None = None,
+                         want_adjoints: bool = False,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed dual_update_2d for lattices above the
-    whole-lattice VMEM gate.  Same contract as dual_update_2d."""
+    whole-lattice VMEM gate.  Same contract as dual_update_2d; with
+    want_adjoints, returns (alpha, u_new, stats, dta, dtu)."""
     m = tuple(int(v) for v in theta.shape)
     dtype = theta.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
@@ -1363,20 +1389,24 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     # on-chip pattern; blocked SMEM outputs are rejected by Mosaic).
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
+    n_out = 8 if want_adjoints else 6
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles,
-                          true_m, False),
+                          true_m, False, want_adjoints),
         grid=(n_tiles,),
-        out_shape=tuple([shp] * 6) + (
+        out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
         in_specs=[any_spec] * 4 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=tuple([tile_spec] * 6) + (smem_stat,),
+        out_specs=tuple([tile_spec] * n_out) + (smem_stat,),
         scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 4
         + [pltpu.SemaphoreType.DMA((2, 4))],
         interpret=interpret,
         compiler_params=_params(),
     )(theta, u[0], u[1], u[2], scal)
-    return outs[0:3], outs[3:6], jnp.sum(outs[6], axis=0)
+    stats = jnp.sum(outs[n_out], axis=0)
+    if want_adjoints:
+        return outs[0:3], outs[3:6], stats, outs[6], outs[7]
+    return outs[0:3], outs[3:6], stats
 
 
 def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
@@ -1386,6 +1416,7 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
                                scales: Tuple[jax.Array, ...],
                                u_scale: jax.Array | None = None,
                                true_m: Tuple[int, int] | None = None,
+                               want_adjoints: bool = False,
                                interpret: bool = False,
                                tile_rows: int | None = None):
     """Shard-local dual stage (called INSIDE shard_map with the lattice
@@ -1393,7 +1424,8 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
     halos_top/halos_bot the 4 neighbor boundary arrays (HALO, m1) in
     (theta, u0, u1, u2) order (zeros at global edges), row_off the global
     row index of local row 0.  Returns (alpha (3), u_new (3),
-    stats-partial (5,)) — caller psums stats over the shard axis."""
+    stats-partial (5,)) — caller psums stats over the shard axis; with
+    want_adjoints, additionally (dta, dtu) local slabs."""
     m = tuple(int(v) for v in theta.shape)
     dtype = theta.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
@@ -1413,15 +1445,16 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
+    n_out = 8 if want_adjoints else 6
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, int(m0_global), m[1],
-                          n_tiles, true_m, True),
+                          n_tiles, true_m, True, want_adjoints),
         grid=(n_tiles,),
-        out_shape=tuple([shp] * 6) + (
+        out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
         in_specs=[smem_spec] + [halo_spec] * 8 + [any_spec] * 4
         + [smem_spec],
-        out_specs=tuple([tile_spec] * 6) + (smem_spec,),
+        out_specs=tuple([tile_spec] * n_out) + (smem_spec,),
         scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)] * 4
         + [pltpu.SemaphoreType.DMA((2, 4)), pltpu.SemaphoreType.DMA((2, 4))],
         interpret=interpret,
@@ -1429,7 +1462,10 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
     )(off, halos_top[0], halos_top[1], halos_top[2], halos_top[3],
       halos_bot[0], halos_bot[1], halos_bot[2], halos_bot[3],
       theta, u[0], u[1], u[2], scal)
-    return outs[0:3], outs[3:6], jnp.sum(outs[6], axis=0)
+    stats = jnp.sum(outs[n_out], axis=0)
+    if want_adjoints:
+        return outs[0:3], outs[3:6], stats, outs[6], outs[7]
+    return outs[0:3], outs[3:6], stats
 
 
 def _tiled_rhs_kernel(T, m0, m1, n_tiles, sharded, *refs):

@@ -93,9 +93,12 @@ def _halo_pair(x: jax.Array, axis_name: str, nsx: int):
 def dual_update_tiled_2d_sharded(key: int, theta: jax.Array, u, kappa,
                                  scales, u_scale=None,
                                  true_m: Optional[tuple] = None,
+                                 want_adjoints: bool = False,
                                  interpret: bool = False):
     """Sharded twin of pk.dual_update_tiled_2d (same contract: returns
-    (alpha (3), u_new (3), stats (5,)) with stats global via psum)."""
+    (alpha (3), u_new (3), stats (5,)) with stats global via psum; with
+    want_adjoints, additionally (dta, dtu) — elementwise consumers need
+    no halo, so they stay row-sharded like everything else)."""
     mesh, ax = get_shard_ctx(key)
     nsx = mesh.shape[ax]
     m0g = int(theta.shape[0])
@@ -107,22 +110,28 @@ def dual_update_tiled_2d_sharded(key: int, theta: jax.Array, u, kappa,
     scal3 = jnp.stack([jnp.asarray(s, dtype) for s in scales[:3]])
     spec = P(ax, None)
     rep = P()
+    n_lat = 8 if want_adjoints else 6
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(spec, spec, spec, spec, rep, rep, rep),
-             out_specs=tuple([spec] * 6) + (rep,))
+             out_specs=tuple([spec] * n_lat) + (rep,))
     def run(th, u0, u1, u2, kap, us, sc):
         off = jax.lax.axis_index(ax) * m0l
         tops, bots = zip(*[_halo_pair(x, ax, nsx)
                            for x in (th, u0, u1, u2)])
-        alpha, un, stats = pk.dual_update_tiled_2d_shard(
+        outs = pk.dual_update_tiled_2d_shard(
             th, (u0, u1, u2), list(tops), list(bots), off, m0g, kap,
             (sc[0], sc[1], sc[2]), u_scale=us, true_m=true_m,
-            interpret=interpret)
+            want_adjoints=want_adjoints, interpret=interpret)
+        alpha, un, stats = outs[0], outs[1], outs[2]
         stats = jax.lax.psum(stats, ax)
+        if want_adjoints:
+            return (*alpha, *un, outs[3], outs[4], stats)
         return (*alpha, *un, stats)
 
     outs = run(theta, u[0], u[1], u[2], kappa, usc, scal3)
+    if want_adjoints:
+        return outs[0:3], outs[3:6], outs[8], outs[6], outs[7]
     return outs[0:3], outs[3:6], outs[6]
 
 

@@ -112,6 +112,33 @@ def initial_state(ops: Operators, problem: Problem, rho0: jax.Array,
     )
 
 
+def _whole_pallas_active(ops: Operators, problem: Problem,
+                         cfg: SolverConfig, batched: bool) -> bool:
+    """The whole-lattice-in-VMEM 2-D kernel route."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    return (
+        cfg.use_pallas
+        and not batched
+        and pk.supported(ops.m, ops.binaries)
+        and jax.default_backend() == "tpu"
+        and problem.counts.ndim == len(ops.m)
+    )
+
+
+def _tiled2_active(ops: Operators, problem: Problem, cfg: SolverConfig,
+                   batched: bool) -> bool:
+    """The tiled 2-D row-panel kernel route (above the VMEM gate)."""
+    from multivartv_tpu.ops import pallas_kernels as pk
+    return (
+        cfg.use_pallas
+        and not batched
+        and not _whole_pallas_active(ops, problem, cfg, batched)
+        and pk.tiled_supported(ops.m, ops.binaries)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
+
+
 def _tiled3_active(ops: Operators, problem: Problem, cfg: SolverConfig,
                    batched: bool) -> bool:
     """Whether the tiled-3D dual/rhs route runs (shared by
@@ -128,12 +155,31 @@ def _tiled3_active(ops: Operators, problem: Problem, cfg: SolverConfig,
     )
 
 
+def _tiled_shard_active(ops: Operators, problem: Problem,
+                        cfg: SolverConfig, batched: bool) -> bool:
+    """The shard_map row-sharded tiled kernel route."""
+    from multivartv_tpu.parallel import tiled_shard as ts
+    return (
+        cfg.tiled_shard_key is not None
+        and not batched
+        and not _whole_pallas_active(ops, problem, cfg, batched)
+        and not _tiled2_active(ops, problem, cfg, batched)
+        and not _tiled3_active(ops, problem, cfg, batched)
+        and ts.shard_supported(ops.m, ops.binaries, cfg.tiled_shard_key)
+        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
+        and problem.counts.ndim == len(ops.m)
+    )
+
+
 def _seed_adjoints(ops: Operators, problem: Problem, state: ADMMState,
                    cfg: SolverConfig, batched: bool) -> ADMMState:
-    """Seed the dta/dtu adjoint carries before a tiled-3D loop (one jnp
-    adjoint pass outside the loop); no-op elsewhere or when already
-    seeded."""
-    if not _tiled3_active(ops, problem, cfg, batched):
+    """Seed the dta/dtu adjoint carries before a loop that runs an
+    adjoint-carrying dual kernel (tiled 2-D, tiled 3-D or shard_map
+    tiled; one jnp adjoint pass outside the loop); no-op elsewhere or
+    when already seeded."""
+    if not (_tiled3_active(ops, problem, cfg, batched)
+            or _tiled2_active(ops, problem, cfg, batched)
+            or _tiled_shard_active(ops, problem, cfg, batched)):
         return state
     if state.dta is not None and state.dtu is not None:
         return state
@@ -175,28 +221,18 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     cbar = jnp.sum(problem.counts) / ops.ntheta
 
     from multivartv_tpu.ops import pallas_kernels as pk
+    from multivartv_tpu.parallel import tiled_shard as ts
     # Pallas kernels cannot be vmapped over (the SMEM scalar operands do
     # not batch), so callers running under vmap (CV folds, lambda sweeps)
-    # pass batched=True to select the jnp path.
-    use_pallas = (
-        cfg.use_pallas
-        and not batched
-        and pk.supported(ops.m, ops.binaries)
-        and jax.default_backend() == "tpu"
-        and problem.counts.ndim == len(ops.m)
-    )
+    # pass batched=True to select the jnp path.  Route predicates live in
+    # module functions so the dta/dtu seeding (_seed_adjoints) sees the
+    # same gates.
+    use_pallas = _whole_pallas_active(ops, problem, cfg, batched)
     # Above the whole-lattice gate, the dual/rhs stencil stages stream
     # through the tiled row-panel kernels (2048^2+: measured 5.5 ms of
     # the 17.4 ms 4096^2 iteration went to the separate jnp stencil and
     # reduction passes these replace).
-    use_tiled = (
-        cfg.use_pallas
-        and not batched
-        and not use_pallas
-        and pk.tiled_supported(ops.m, ops.binaries)
-        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
-        and problem.counts.ndim == len(ops.m)
-    )
+    use_tiled = _tiled2_active(ops, problem, cfg, batched)
     # p = 3: the fused flat-row dual, rhs and gram-residual kernels
     # (kernels 10/11 + the r5 rhs kernel — the jnp rhs measured 5.3 ms
     # vs a 1.3 ms bound at 256^3 under an honest dependency-chained
@@ -206,15 +242,7 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
     # shard_map with ppermute halo exchange (parallel/tiled_shard.py) —
     # the sharded-regime program keeps the single-chip kernel family
     # instead of falling back to unfused jnp stencils (VERDICT r4 #5).
-    from multivartv_tpu.parallel import tiled_shard as ts
-    use_tiled_shard = (
-        cfg.tiled_shard_key is not None
-        and not batched
-        and not use_pallas and not use_tiled and not use_tiled3
-        and ts.shard_supported(ops.m, ops.binaries, cfg.tiled_shard_key)
-        and (jax.default_backend() == "tpu" or FORCE_FUSED_INTERPRET)
-        and problem.counts.ndim == len(ops.m)
-    )
+    use_tiled_shard = _tiled_shard_active(ops, problem, cfg, batched)
 
     # Loop-invariant layout conversion of counts for the large-lattice
     # spectral-correction CG (solver/xupdate.py): converted ONCE here, not
@@ -244,21 +272,14 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         if use_pallas:
             b = pk.rhs_2d(s.alpha, s.u, problem.oty, s.rho, s.u_scale,
                           ops.scales)
-        elif use_tiled:
-            b = pk.rhs_tiled_2d(s.alpha, s.u, problem.oty, s.rho,
-                                s.u_scale, ops.scales,
-                                interpret=FORCE_FUSED_INTERPRET)
-        elif use_tiled_shard:
-            b = ts.rhs_tiled_2d_sharded(
-                cfg.tiled_shard_key, s.alpha, s.u, problem.oty, s.rho,
-                s.u_scale, ops.scales, interpret=FORCE_FUSED_INTERPRET)
-        elif use_tiled3:
+        elif use_tiled or use_tiled3 or use_tiled_shard:
             # r5: the dual kernel exported dta = D'alpha and dtu = D'u
             # last iteration (they are computed on its VMEM panels for
             # the Boyd stats anyway), so the rhs is ONE fused
             # elementwise pass — replacing the 5.3 ms jnp adjoint
-            # stencils (or the 2.9 ms streamed rhs kernel, kept as
-            # pk.rhs_tiled_3d for the non-carried fallback) at 256^3.
+            # stencils (or the 2.9 ms streamed rhs kernel at 256^3;
+            # pk.rhs_tiled_2d/rhs_tiled_3d remain as tested non-carried
+            # fallbacks).
             b = problem.oty + s.rho * (s.dta + s.u_scale * s.dtu)
         else:
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
@@ -277,14 +298,16 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
                     true_m=kern_tm)
             elif use_tiled:
-                alpha, u, stats = pk.dual_update_tiled_2d(
+                alpha, u, stats, new_dta, new_dtu = pk.dual_update_tiled_2d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    true_m=kern_tm, interpret=FORCE_FUSED_INTERPRET)
+                    true_m=kern_tm, want_adjoints=True,
+                    interpret=FORCE_FUSED_INTERPRET)
             elif use_tiled_shard:
-                alpha, u, stats = ts.dual_update_tiled_2d_sharded(
+                (alpha, u, stats, new_dta,
+                 new_dtu) = ts.dual_update_tiled_2d_sharded(
                     cfg.tiled_shard_key, theta, s.u, lam / s.rho,
                     ops.scales, u_scale=s.u_scale, true_m=kern_tm,
-                    interpret=FORCE_FUSED_INTERPRET)
+                    want_adjoints=True, interpret=FORCE_FUSED_INTERPRET)
             else:
                 alpha, u, stats, new_dta, new_dtu = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,

@@ -133,10 +133,10 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
     vb = 2 if vec_bf16 else 4
     B = (1 << len(m)) - 1   # difference blocks (2^p - 1)
     tf = _transform_flops_per_knot(m, layout)
-    # p = 3 tiled route (r5): the dual kernel carries dta = D'alpha and
+    # Tiled routes (r5): the dual kernel carries dta = D'alpha and
     # dtu = D'u out (2 extra writes), collapsing the rhs to a 4-array
-    # fused elementwise pass.
-    adjoint_carry = tiled and len(m) == 3
+    # fused elementwise pass (2-D and 3-D alike).
+    adjoint_carry = tiled
     stages = [
         Stage("rhs", reads=3, writes=1,
               note="b = oty + rho (dta + s dtu), fused elementwise")

@@ -275,6 +275,24 @@ class TestTiledKernels:
         ]
         np.testing.assert_allclose(np.asarray(stats), want_stats, rtol=1e-4)
 
+    def test_tiled_dual_adjoint_carries(self):
+        """want_adjoints (r5): the exported dta/dtu equal D'alpha_new and
+        D'u_new — the carries the next iteration's rhs consumes."""
+        from multivartv_tpu.ops import diff as diff_ops
+        from multivartv_tpu.ops.prox import soft_threshold_blocks
+        bins, scales, theta, u = self._setup()
+        kappa = jnp.asarray(0.3, jnp.float32)
+        uscale = jnp.asarray(0.5, jnp.float32)
+        alpha, un, stats, dta, dtu = pk.dual_update_tiled_2d(
+            theta, u, kappa, scales, u_scale=uscale, want_adjoints=True,
+            interpret=True, tile_rows=8)
+        np.testing.assert_allclose(
+            np.asarray(dta),
+            np.asarray(diff_ops.apply_Dt(alpha, bins, scales)), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(dtu),
+            np.asarray(diff_ops.apply_Dt(un, bins, scales)), atol=1e-5)
+
     @pytest.mark.parametrize("tile_rows", [8, 16])
     def test_tiled_rhs_matches_jnp(self, tile_rows):
         from multivartv_tpu.ops import diff as diff_ops

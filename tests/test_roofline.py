@@ -31,11 +31,15 @@ def test_block_count_scales_with_p():
                                                  vec_bf16=False)}
     s3 = {s.name: s for s in rl.iteration_stages((256, 256, 256),
                                                  vec_bf16=False)}
-    assert s2["rhs"].reads == 7 and s3["rhs"].reads == 3
-    assert s2["dual"].writes == 6 and s3["dual"].writes == 16
+    assert s2["rhs"].reads == 3 and s3["rhs"].reads == 3
+    assert s2["dual"].writes == 8 and s3["dual"].writes == 16
+    s2u = {s.name: s for s in rl.iteration_stages((2048, 2048),
+                                                  vec_bf16=False,
+                                                  tiled=False)}
     s3u = {s.name: s for s in rl.iteration_stages((256, 256, 256),
                                                   vec_bf16=False,
                                                   tiled=False)}
+    assert s2u["rhs"].reads == 7 and s2u["dual"].writes == 6
     assert s3u["rhs"].reads == 15 and s3u["dual"].writes == 14
 
 
