@@ -1213,7 +1213,7 @@ def _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=None, halos=None,
 
 
 def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, want_adjoints,
-                       *refs):
+                       want_alpha, *refs):
     """Extended-panel dual stage: locals 0..T+2*HALO-1 map to global rows
     t*T-HALO .. t*T+T+HALO-1; outputs cover locals HALO..HALO+T-1;
     adjoints at local l read l-1, so halo-row values are computed too and
@@ -1231,32 +1231,34 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, want_adjoints,
     want_adjoints (r5, mirrors the p=3 kernel): additionally write
     dta = D'alpha_new and dtu = D'u_new (computed for the Boyd stats
     anyway), collapsing the next iteration's rhs to a fused elementwise
-    pass."""
+    pass.
+
+    want_alpha=False (r5): skip the 3 alpha HBM outputs.  On the
+    adjoint-carrying ADMM route nothing reads the per-iteration alpha
+    arrays (the rhs consumes dta/dtu; the Boyd reductions are in-kernel),
+    so the writes are 3/12 of the stage's streaming traffic for dead
+    stores — admm_solve refreshes alpha once after the loop instead."""
+    k = 0
     if sharded:
-        if want_adjoints:
-            (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
-             theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
-             dta_ref, dtu_ref, stats_ref,
-             theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
-        else:
-            (off_ref, ht0, ht1, ht2, ht3, hb0, hb1, hb2, hb3,
-             theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
-             theta_s, u0_s, u1_s, u2_s, sems, hsems) = refs
-        halos = [(ht0, hb0), (ht1, hb1), (ht2, hb2), (ht3, hb3)]
+        off_ref = refs[k]; k += 1
+        ht = refs[k:k + 4]; k += 4
+        hb = refs[k:k + 4]; k += 4
+        halos = list(zip(ht, hb))
     else:
-        if want_adjoints:
-            (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref,
-             dta_ref, dtu_ref, stats_ref,
-             theta_s, u0_s, u1_s, u2_s, sems) = refs
-        else:
-            (theta_hbm, u0_hbm, u1_hbm, u2_hbm, scal_ref,
-             a0_ref, a1_ref, a2_ref, un0_ref, un1_ref, un2_ref, stats_ref,
-             theta_s, u0_s, u1_s, u2_s, sems) = refs
+        off_ref = None
         halos = None
-        hsems = None
+    theta_hbm, u0_hbm, u1_hbm, u2_hbm = refs[k:k + 4]; k += 4
+    scal_ref = refs[k]; k += 1
+    a_refs = None
+    if want_alpha:
+        a_refs = refs[k:k + 3]; k += 3
+    un0_ref, un1_ref, un2_ref = refs[k:k + 3]; k += 3
+    if want_adjoints:
+        dta_ref, dtu_ref = refs[k:k + 2]; k += 2
+    stats_ref = refs[k]; k += 1
+    theta_s, u0_s, u1_s, u2_s = refs[k:k + 4]; k += 4
+    sems = refs[k]; k += 1
+    hsems = refs[k] if sharded else None
     t = pl.program_id(0)
     dtype = theta_s.dtype
     kappa = scal_ref[0]
@@ -1319,9 +1321,10 @@ def _tiled_dual_kernel(T, m0, m1, n_tiles, true_m, sharded, want_adjoints,
     un2 = u2 + r2
 
     sl = slice(H, T + H)
-    a0_ref[:] = a0[sl]
-    a1_ref[:] = a1[sl]
-    a2_ref[:] = a2[sl]
+    if want_alpha:
+        a_refs[0][:] = a0[sl]
+        a_refs[1][:] = a1[sl]
+        a_refs[2][:] = a2[sl]
     un0_ref[:] = un0[sl]
     un1_ref[:] = un1[sl]
     un2_ref[:] = un2[sl]
@@ -1365,11 +1368,14 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
                          true_m: Tuple[int, int] | None = None,
                          want_adjoints: bool = False,
+                         want_alpha: bool = True,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed dual_update_2d for lattices above the
     whole-lattice VMEM gate.  Same contract as dual_update_2d; with
-    want_adjoints, returns (alpha, u_new, stats, dta, dtu)."""
+    want_adjoints, returns (alpha, u_new, stats, dta, dtu); with
+    want_alpha=False the alpha slot is None (dead-store elision — see
+    _tiled_dual_kernel)."""
     m = tuple(int(v) for v in theta.shape)
     dtype = theta.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
@@ -1389,10 +1395,11 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
     # on-chip pattern; blocked SMEM outputs are rejected by Mosaic).
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
-    n_out = 8 if want_adjoints else 6
+    n_a = 3 if want_alpha else 0
+    n_out = n_a + 3 + (2 if want_adjoints else 0)
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, m[0], m[1], n_tiles,
-                          true_m, False, want_adjoints),
+                          true_m, False, want_adjoints, want_alpha),
         grid=(n_tiles,),
         out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
@@ -1404,9 +1411,11 @@ def dual_update_tiled_2d(theta: jax.Array, u: Tuple[jax.Array, ...],
         compiler_params=_params(),
     )(theta, u[0], u[1], u[2], scal)
     stats = jnp.sum(outs[n_out], axis=0)
+    alpha = outs[0:3] if want_alpha else None
+    un = outs[n_a:n_a + 3]
     if want_adjoints:
-        return outs[0:3], outs[3:6], stats, outs[6], outs[7]
-    return outs[0:3], outs[3:6], stats
+        return alpha, un, stats, outs[n_a + 3], outs[n_a + 4]
+    return alpha, un, stats
 
 
 def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
@@ -1417,6 +1426,7 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
                                u_scale: jax.Array | None = None,
                                true_m: Tuple[int, int] | None = None,
                                want_adjoints: bool = False,
+                               want_alpha: bool = True,
                                interpret: bool = False,
                                tile_rows: int | None = None):
     """Shard-local dual stage (called INSIDE shard_map with the lattice
@@ -1425,7 +1435,8 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
     (theta, u0, u1, u2) order (zeros at global edges), row_off the global
     row index of local row 0.  Returns (alpha (3), u_new (3),
     stats-partial (5,)) — caller psums stats over the shard axis; with
-    want_adjoints, additionally (dta, dtu) local slabs."""
+    want_adjoints, additionally (dta, dtu) local slabs; with
+    want_alpha=False the alpha slot is None (dead-store elision)."""
     m = tuple(int(v) for v in theta.shape)
     dtype = theta.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
@@ -1445,10 +1456,12 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct(m, dtype)
-    n_out = 8 if want_adjoints else 6
+    n_a = 3 if want_alpha else 0
+    n_out = n_a + 3 + (2 if want_adjoints else 0)
     outs = pl.pallas_call(
         functools.partial(_tiled_dual_kernel, T, int(m0_global), m[1],
-                          n_tiles, true_m, True, want_adjoints),
+                          n_tiles, true_m, True, want_adjoints,
+                          want_alpha),
         grid=(n_tiles,),
         out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
@@ -1463,9 +1476,11 @@ def dual_update_tiled_2d_shard(theta: jax.Array, u: Tuple[jax.Array, ...],
       halos_bot[0], halos_bot[1], halos_bot[2], halos_bot[3],
       theta, u[0], u[1], u[2], scal)
     stats = jnp.sum(outs[n_out], axis=0)
+    alpha = outs[0:3] if want_alpha else None
+    un = outs[n_a:n_a + 3]
     if want_adjoints:
-        return outs[0:3], outs[3:6], stats, outs[6], outs[7]
-    return outs[0:3], outs[3:6], stats
+        return alpha, un, stats, outs[n_a + 3], outs[n_a + 4]
+    return alpha, un, stats
 
 
 def _tiled_rhs_kernel(T, m0, m1, n_tiles, sharded, *refs):
@@ -1887,7 +1902,8 @@ def _wmasks3(R, m, true_m, t, T, H, dtype):
     return out
 
 
-def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
+def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints,
+                        want_alpha, *refs):
     """Fused p=3 dual stage on flat row panels: 7 forward-difference
     blocks, prox, dual ascent, and all five Boyd reductions in ONE pass
     (contract of dual_update_2d, seven blocks).
@@ -1896,23 +1912,25 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
     dta = D'alpha_new and dtu = D'u_new (already computed on the panels
     for the Boyd stats) as lattice outputs — the next iteration's rhs
     b = oty + rho (dta + u_scale dtu) then collapses to a 4-array fused
-    elementwise pass instead of a full 15-read adjoint-stencil kernel."""
+    elementwise pass instead of a full 15-read adjoint-stencil kernel.
+
+    want_alpha=False (r5): skip the 7 alpha HBM outputs — dead stores on
+    the adjoint-carrying ADMM route (7/16 of the stage's write traffic);
+    admm_solve refreshes alpha once after the loop."""
+    k = 0
+    theta_hbm = refs[k]; k += 1
+    u_hbm = refs[k:k + 7]; k += 7
+    scal_ref = refs[k]; k += 1
+    a_refs = None
+    if want_alpha:
+        a_refs = refs[k:k + 7]; k += 7
+    un_refs = refs[k:k + 7]; k += 7
     if want_adjoints:
-        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
-         u5_hbm, u6_hbm, scal_ref,
-         a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
-         a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
-         un4_ref, un5_ref, un6_ref, dta_ref, dtu_ref, stats_ref,
-         theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
-         sems) = refs
-    else:
-        (theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm,
-         u5_hbm, u6_hbm, scal_ref,
-         a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref,
-         a6_ref, un0_ref, un1_ref, un2_ref, un3_ref,
-         un4_ref, un5_ref, un6_ref, stats_ref,
-         theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s,
-         sems) = refs
+        dta_ref, dtu_ref = refs[k:k + 2]; k += 2
+    stats_ref = refs[k]; k += 1
+    theta_s = refs[k]; k += 1
+    u_s = refs[k:k + 7]; k += 7
+    sems = refs[k]
     t = pl.program_id(0)
     m0, m1, m2 = m
     dtype = theta_s.dtype
@@ -1920,9 +1938,8 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
     uscale = scal_ref[1]
     scales = [scal_ref[2 + k] for k in range(7)]
 
-    ins = [theta_hbm, u0_hbm, u1_hbm, u2_hbm, u3_hbm, u4_hbm, u5_hbm,
-           u6_hbm]
-    scr = [theta_s, u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
+    ins = [theta_hbm] + list(u_hbm)
+    scr = [theta_s] + list(u_s)
     cur = _halo_pingpong(t, n_tiles, T, ins, scr, sems, H=H)
 
     theta = theta_s[cur]
@@ -1933,11 +1950,6 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
 
     def soft(z, k):
         return jnp.sign(z) * jnp.maximum(jnp.abs(z) - k, 0.0)
-
-    u_s = [u0_s, u1_s, u2_s, u3_s, u4_s, u5_s, u6_s]
-    a_refs = [a0_ref, a1_ref, a2_ref, a3_ref, a4_ref, a5_ref, a6_ref]
-    un_refs = [un0_ref, un1_ref, un2_ref, un3_ref, un4_ref, un5_ref,
-               un6_ref]
 
     sl = slice(H, T + H)
     p_sq = jnp.zeros((), dtype)
@@ -1953,7 +1965,8 @@ def _tiled3_dual_kernel(T, m, n_tiles, H, true_m, want_adjoints, *refs):
         a_k = soft(d_k - u_k, kap_k)
         r_k = a_k - d_k
         un_k = u_k + r_k
-        a_refs[k][:] = a_k[sl]
+        if want_alpha:
+            a_refs[k][:] = a_k[sl]
         un_refs[k][:] = un_k[sl]
         sd_k = d_k if wms is None else d_k * wms[k]
         sa_k = a_k if wms is None else a_k * wms[k]
@@ -2028,12 +2041,14 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
                          u_scale: jax.Array | None = None,
                          true_m: Tuple[int, int, int] | None = None,
                          want_adjoints: bool = False,
+                         want_alpha: bool = True,
                          interpret: bool = False,
                          tile_rows: int | None = None):
     """Row-panel-streamed p=3 dual stage (contract of dual_update_2d:
     returns (alpha_blocks, u_blocks, stats[5]); with want_adjoints,
     (alpha_blocks, u_blocks, stats[5], dta, dtu) — see
-    _tiled3_dual_kernel)."""
+    _tiled3_dual_kernel).  want_alpha=False: the alpha slot is None
+    (dead-store elision on the adjoint-carrying ADMM route)."""
     m = tuple(int(v) for v in theta.shape)
     m0, m1, m2 = m
     dtype = theta.dtype
@@ -2053,10 +2068,11 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
                              memory_space=pltpu.VMEM)
     smem_stat = pl.BlockSpec(memory_space=pltpu.SMEM)
     shp = jax.ShapeDtypeStruct((rows, m2), dtype)
-    n_out = 16 if want_adjoints else 14
+    n_a = 7 if want_alpha else 0
+    n_out = n_a + 7 + (2 if want_adjoints else 0)
     outs = pl.pallas_call(
         functools.partial(_tiled3_dual_kernel, T, m, n_tiles, H, true_m,
-                          want_adjoints),
+                          want_adjoints, want_alpha),
         grid=(n_tiles,),
         out_shape=tuple([shp] * n_out) + (
             jax.ShapeDtypeStruct((n_tiles, 5), dtype),),
@@ -2068,12 +2084,13 @@ def dual_update_tiled_3d(theta: jax.Array, u: Tuple[jax.Array, ...],
         compiler_params=_params(),
     )(flat(theta), *[flat(w) for w in u], scal)
     unflat = lambda x: x.reshape(m)
-    alpha = tuple(unflat(o) for o in outs[0:7])
-    un = tuple(unflat(o) for o in outs[7:14])
+    alpha = (tuple(unflat(o) for o in outs[0:7]) if want_alpha else None)
+    un = tuple(unflat(o) for o in outs[n_a:n_a + 7])
+    stats = jnp.sum(outs[n_out], axis=0)
     if want_adjoints:
-        return (alpha, un, jnp.sum(outs[16], axis=0),
-                unflat(outs[14]), unflat(outs[15]))
-    return alpha, un, jnp.sum(outs[14], axis=0)
+        return (alpha, un, stats,
+                unflat(outs[n_a + 7]), unflat(outs[n_a + 8]))
+    return alpha, un, stats
 
 
 def _tiled3_rhs_kernel(T, m, n_tiles, H,

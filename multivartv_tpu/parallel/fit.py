@@ -193,6 +193,12 @@ def shard_operators(ops: Operators, mesh: Mesh,
         gram_eigs_quartered=(None if ops.gram_eigs_quartered is None else
                              tuple(place_block(e)
                                    for e in ops.gram_eigs_quartered)),
+        gram_eigs_blocked_lp=(None if ops.gram_eigs_blocked_lp is None else
+                              tuple(place_block(e)
+                                    for e in ops.gram_eigs_blocked_lp)),
+        gram_eigs_quartered_lp=(
+            None if ops.gram_eigs_quartered_lp is None else
+            tuple(place_block(e) for e in ops.gram_eigs_quartered_lp)),
         deltas=place(ops.deltas),
         padded=(None if ops.padded is None else
                 shard_operators(ops.padded, mesh, spatial_axes)),

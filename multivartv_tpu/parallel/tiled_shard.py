@@ -94,11 +94,13 @@ def dual_update_tiled_2d_sharded(key: int, theta: jax.Array, u, kappa,
                                  scales, u_scale=None,
                                  true_m: Optional[tuple] = None,
                                  want_adjoints: bool = False,
+                                 want_alpha: bool = True,
                                  interpret: bool = False):
     """Sharded twin of pk.dual_update_tiled_2d (same contract: returns
     (alpha (3), u_new (3), stats (5,)) with stats global via psum; with
     want_adjoints, additionally (dta, dtu) — elementwise consumers need
-    no halo, so they stay row-sharded like everything else)."""
+    no halo, so they stay row-sharded like everything else; with
+    want_alpha=False the alpha slot is None (dead-store elision))."""
     mesh, ax = get_shard_ctx(key)
     nsx = mesh.shape[ax]
     m0g = int(theta.shape[0])
@@ -110,7 +112,8 @@ def dual_update_tiled_2d_sharded(key: int, theta: jax.Array, u, kappa,
     scal3 = jnp.stack([jnp.asarray(s, dtype) for s in scales[:3]])
     spec = P(ax, None)
     rep = P()
-    n_lat = 8 if want_adjoints else 6
+    n_a = 3 if want_alpha else 0
+    n_lat = n_a + 3 + (2 if want_adjoints else 0)
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(spec, spec, spec, spec, rep, rep, rep),
@@ -122,17 +125,21 @@ def dual_update_tiled_2d_sharded(key: int, theta: jax.Array, u, kappa,
         outs = pk.dual_update_tiled_2d_shard(
             th, (u0, u1, u2), list(tops), list(bots), off, m0g, kap,
             (sc[0], sc[1], sc[2]), u_scale=us, true_m=true_m,
-            want_adjoints=want_adjoints, interpret=interpret)
+            want_adjoints=want_adjoints, want_alpha=want_alpha,
+            interpret=interpret)
         alpha, un, stats = outs[0], outs[1], outs[2]
         stats = jax.lax.psum(stats, ax)
+        lat = (un if alpha is None else (*alpha, *un))
         if want_adjoints:
-            return (*alpha, *un, outs[3], outs[4], stats)
-        return (*alpha, *un, stats)
+            return (*lat, outs[3], outs[4], stats)
+        return (*lat, stats)
 
     outs = run(theta, u[0], u[1], u[2], kappa, usc, scal3)
+    alpha = outs[0:3] if want_alpha else None
+    un = outs[n_a:n_a + 3]
     if want_adjoints:
-        return outs[0:3], outs[3:6], outs[8], outs[6], outs[7]
-    return outs[0:3], outs[3:6], outs[6]
+        return alpha, un, outs[n_a + 5], outs[n_a + 3], outs[n_a + 4]
+    return alpha, un, outs[n_a + 3]
 
 
 def rhs_tiled_2d_sharded(key: int, alpha, u, oty, rho, u_scale, scales,

@@ -187,6 +187,33 @@ def _seed_adjoints(ops: Operators, problem: Problem, state: ADMMState,
         state, dta=ops.apply_Dt(state.alpha), dtu=ops.apply_Dt(state.u))
 
 
+def _alpha_skipped(ops: Operators, problem: Problem, cfg: SolverConfig,
+                   batched: bool) -> bool:
+    """Whether the loop body runs an alpha-eliding dual kernel
+    (want_alpha=False): the same routes that carry adjoints."""
+    return (_tiled2_active(ops, problem, cfg, batched)
+            or _tiled3_active(ops, problem, cfg, batched)
+            or _tiled_shard_active(ops, problem, cfg, batched))
+
+
+def _refresh_alpha(ops: Operators, state: ADMMState, lam,
+                   cfg: SolverConfig) -> ADMMState:
+    """Recompute alpha consistently with the final (theta, u) after a
+    loop whose dual kernels elided the per-iteration alpha writes
+    (want_alpha=False): alpha = soft(D theta - u_scale u, lam/rho), the
+    exact prox the next iteration would take.  For a converged state
+    this matches the last in-loop alpha to within the primal residual;
+    it is the canonical warm-start/reporting value either way.  Runs
+    ONCE per solve (one stencil + prox pass) on the TRUE (cropped)
+    lattice — so no pad masks are needed."""
+    d_theta = ops.apply_D(state.theta)
+    kap = jnp.asarray(lam, state.theta.dtype) / state.rho
+    alpha = soft_threshold_blocks(
+        tuple(dt - state.u_scale * w for dt, w in zip(d_theta, state.u)),
+        kap)
+    return dataclasses.replace(state, alpha=alpha)
+
+
 def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                         cfg: SolverConfig, batched: bool = False,
                         stop_ntheta: int | None = None,
@@ -298,21 +325,31 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
                     true_m=kern_tm)
             elif use_tiled:
+                # want_alpha=False: on this route nothing reads the
+                # per-iteration alpha arrays (rhs rides the dta/dtu
+                # carries; Boyd norms are in-kernel), so the 3 (2-D) / 7
+                # (3-D) alpha writes are dead stores — 25% / 44% of the
+                # dual stage's write traffic.  alpha passes through the
+                # state unchanged and admm_solve refreshes it once after
+                # the loop (_refresh_alpha).
                 alpha, u, stats, new_dta, new_dtu = pk.dual_update_tiled_2d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    true_m=kern_tm, want_adjoints=True,
+                    true_m=kern_tm, want_adjoints=True, want_alpha=False,
                     interpret=FORCE_FUSED_INTERPRET)
             elif use_tiled_shard:
                 (alpha, u, stats, new_dta,
                  new_dtu) = ts.dual_update_tiled_2d_sharded(
                     cfg.tiled_shard_key, theta, s.u, lam / s.rho,
                     ops.scales, u_scale=s.u_scale, true_m=kern_tm,
-                    want_adjoints=True, interpret=FORCE_FUSED_INTERPRET)
+                    want_adjoints=True, want_alpha=False,
+                    interpret=FORCE_FUSED_INTERPRET)
             else:
                 alpha, u, stats, new_dta, new_dtu = pk.dual_update_tiled_3d(
                     theta, s.u, lam / s.rho, ops.scales, u_scale=s.u_scale,
-                    true_m=kern_tm, want_adjoints=True,
+                    true_m=kern_tm, want_adjoints=True, want_alpha=False,
                     interpret=FORCE_FUSED_INTERPRET)
+            if alpha is None:
+                alpha = s.alpha
             primal_norm = jnp.sqrt(stats[0])
             d_theta_norm = jnp.sqrt(stats[1])
             alpha_norm = jnp.sqrt(stats[2])
@@ -618,9 +655,15 @@ def admm_solve(ops: Operators, problem: Problem, lam: jax.Array,
     EXACTLY the true objective (solver/pad.py accuracy note).
     """
     chunk = resolve_chunk(cfg)
+    ops_true = ops
     ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
     state = _seed_adjoints(ops, problem, state, cfg, batched)
+    if _alpha_skipped(ops, problem, cfg, batched):
+        # The loop's dual kernels elide alpha writes (dead stores on the
+        # adjoint-carry route); recompute it once post-loop, post-crop.
+        base_crop = crop
+        crop = lambda s: _refresh_alpha(ops_true, base_crop(s), lam, cfg)
     per_iter_body = make_admm_iteration(ops, problem, lam, cfg,
                                         batched=batched, stop_ntheta=s_nt,
                                         stop_rows=s_rd, true_m=t_m)
@@ -907,9 +950,13 @@ def admm_fixed_iterations(ops: Operators, problem: Problem, lam: jax.Array,
     identical per-iteration math (adaptive rho + Boyd statistics every
     iteration), with the ADMM state VMEM-resident within each chunk.  Set
     cfg.chunk_iters = n_iters for the single-kernel upper-bound cadence."""
+    ops_true = ops
     ops, problem, state, crop, (s_nt, s_rd, t_m) = _pad_for_single(
         ops, problem, state, cfg, batched)
     state = _seed_adjoints(ops, problem, state, cfg, batched)
+    if _alpha_skipped(ops, problem, cfg, batched):
+        base_crop = crop
+        crop = lambda s: _refresh_alpha(ops_true, base_crop(s), lam, cfg)
     if fused_iterations_available(ops, problem, cfg, batched):
         chunk = min(resolve_chunk(cfg), n_iters)
         full, rem = divmod(n_iters, chunk)

@@ -58,6 +58,17 @@ class Operators:
     # set + Gram eigenvalues in quartered layout.
     dct_quarters_lp: Optional[Tuple[tuple, ...]] = None
     gram_eigs_quartered: Optional[Tuple[jax.Array, ...]] = None
+    # bfloat16 copies of the blocked/quartered eigenvalue blocks for the
+    # bf16-vector spectral CG (solver/xupdate.py): the f32 eigenvalues
+    # are read ~10x per x-update in the CG elementwise chains (operator
+    # ap = f + rho*E*p, preconditioner w = cbar + rho*E) — a full-lattice
+    # f32 read each time.  bf16 halves that traffic; the 2^-8 relative
+    # eigenvalue perturbation only perturbs the CORRECTION operator /
+    # preconditioner (r0 stays exact f32 in the natural domain), so the
+    # solve's fixed point is unchanged — the same iterative-refinement
+    # argument as the bf16 transforms (docs/MATH.md).
+    gram_eigs_blocked_lp: Optional[Tuple[jax.Array, ...]] = None
+    gram_eigs_quartered_lp: Optional[Tuple[jax.Array, ...]] = None
     # TV cell sizes the operators were built with — kept so derived
     # (padded) operator sets can be rebuilt (solver/pad.py).
     deltas: Optional[jax.Array] = None
@@ -148,6 +159,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
     gram_eigs_blocked = None
     dct_quarters_lp = None
     gram_eigs_quartered = None
+    gram_eigs_blocked_lp = None
+    gram_eigs_quartered_lp = None
     # p = 1 never uses the folded/packed operand sets: the x-update is an
     # exact cyclic-reduction tridiagonal solve (solver/tridiag.py), so
     # the (n/2)^2 half-matrix builds would be pure memory waste at large
@@ -160,6 +173,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
             (te.astype(jnp.bfloat16), to.astype(jnp.bfloat16))
             for te, to in dct_halves)
         gram_eigs_blocked = dct_ops.blocked_spectrum(gram_eigs)
+        gram_eigs_blocked_lp = tuple(
+            e.astype(jnp.bfloat16) for e in gram_eigs_blocked)
         if all(v % 4 == 0 and v >= QUARTER_MIN_AXIS for v in m):
             def _lp(qm):
                 C2q, V4q, C2qf, c1, s1, alt, w = qm
@@ -168,6 +183,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
             dct_quarters_lp = tuple(
                 _lp(dct_ops.dct_quarter_mats(v, dtype)) for v in m)
             gram_eigs_quartered = dct_ops.quartered_spectrum(gram_eigs)
+            gram_eigs_quartered_lp = tuple(
+                e.astype(jnp.bfloat16) for e in gram_eigs_quartered)
     padded = None
     if with_padded and len(m) in (2, 3) and cfg.x_solver == "dct_pcg":
         from multivartv_tpu.solver import pad as pad_lib
@@ -195,6 +212,8 @@ def build_operators(m: Sequence[int], deltas: jax.Array,
         gram_eigs_blocked=gram_eigs_blocked,
         dct_quarters_lp=dct_quarters_lp,
         gram_eigs_quartered=gram_eigs_quartered,
+        gram_eigs_blocked_lp=gram_eigs_blocked_lp,
+        gram_eigs_quartered_lp=gram_eigs_quartered_lp,
         deltas=jnp.asarray(deltas, dtype),
         padded=padded,
     )

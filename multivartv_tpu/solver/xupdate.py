@@ -138,8 +138,16 @@ def counts_to_layout(ops: Operators, counts, cfg: SolverConfig = None):
         # 256 so the dense-counts edge keeps a bit-exact diagonal
         # (ADVICE r4).  Under a trace the cast stays on (the >2^23-knot
         # auto regime implies > 2 x 10^9 samples for counts > 256/knot).
-        concrete = not isinstance(counts, jax.core.Tracer)
-        if not (concrete and float(jnp.max(counts)) > 256.0):
+        dense = False
+        if not isinstance(counts, jax.core.Tracer):
+            try:
+                dense = float(jnp.max(counts)) > 256.0
+            except jax.errors.ConcretizationTypeError:
+                # Concrete counts closed over by an enclosing trace:
+                # jnp.max still returns a Tracer there, so fall back to
+                # the cast-on default (same as the Tracer case).
+                dense = False
+        if not dense:
             out = tuple(c.astype(vd) for c in out)
     return out
 
@@ -256,13 +264,20 @@ def _spectral_cg_blocked(ops: Operators, counts, b, rho, x0, matvec,
     halves = ops.dct_halves_lp or ops.dct_halves
     counts_b = (counts_blocked if counts_blocked is not None
                 else dct_ops.to_blocks(counts, p_dims))
+    eigs = ops.gram_eigs_blocked
+    if vec_dtype is not None and ops.gram_eigs_blocked_lp is not None:
+        # bf16-vector regime: the eigenvalue blocks are pure elementwise
+        # operands (operator correction + preconditioner), so their bf16
+        # copies halve a ~10-reads-per-solve f32 stream (Operators
+        # docstring for the exactness argument).
+        eigs = ops.gram_eigs_blocked_lp
     return _spectral_cg_generic(
         b, rho, x0, matvec,
         to_b=lambda v: dct_ops.to_blocks(v, p_dims),
         from_b=lambda v: dct_ops.from_blocks(v, p_dims),
         fwd=lambda v: dct_ops.dctn_blocked(v, halves),
         inv=lambda v: dct_ops.idctn_blocked(v, halves),
-        eigs_blocks=ops.gram_eigs_blocked, cbar=cbar, n_steps=n_steps,
+        eigs_blocks=eigs, cbar=cbar, n_steps=n_steps,
         counts_b=counts_b, vec_dtype=vec_dtype, residual=residual)
 
 
@@ -275,13 +290,16 @@ def _spectral_cg_quartered(ops: Operators, counts, b, rho, x0, matvec,
     quarters = ops.dct_quarters_lp
     counts_b = (counts_blocked if counts_blocked is not None
                 else dct_ops.to_blocks4(counts, p_dims))
+    eigs = ops.gram_eigs_quartered
+    if vec_dtype is not None and ops.gram_eigs_quartered_lp is not None:
+        eigs = ops.gram_eigs_quartered_lp   # see _spectral_cg_blocked
     return _spectral_cg_generic(
         b, rho, x0, matvec,
         to_b=lambda v: dct_ops.to_blocks4(v, p_dims),
         from_b=lambda v: dct_ops.from_blocks4(v, p_dims),
         fwd=lambda v: dct_ops.dctn_quartered(v, quarters),
         inv=lambda v: dct_ops.idctn_quartered(v, quarters),
-        eigs_blocks=ops.gram_eigs_quartered, cbar=cbar, n_steps=n_steps,
+        eigs_blocks=eigs, cbar=cbar, n_steps=n_steps,
         counts_b=counts_b, vec_dtype=vec_dtype, residual=residual)
 
 

@@ -293,6 +293,65 @@ class TestTiledKernels:
             np.asarray(dtu),
             np.asarray(diff_ops.apply_Dt(un, bins, scales)), atol=1e-5)
 
+    def test_tiled_dual_want_alpha_elided(self):
+        """want_alpha=False (r5): u_new/stats/dta/dtu are bit-identical
+        to the want_alpha=True call; the alpha slot is None (the writes
+        are dead stores on the adjoint-carry ADMM route)."""
+        bins, scales, theta, u = self._setup()
+        kappa = jnp.asarray(0.3, jnp.float32)
+        uscale = jnp.asarray(0.5, jnp.float32)
+        a1, un1, st1, dta1, dtu1 = pk.dual_update_tiled_2d(
+            theta, u, kappa, scales, u_scale=uscale, want_adjoints=True,
+            interpret=True, tile_rows=8)
+        a0, un0, st0, dta0, dtu0 = pk.dual_update_tiled_2d(
+            theta, u, kappa, scales, u_scale=uscale, want_adjoints=True,
+            want_alpha=False, interpret=True, tile_rows=8)
+        assert a0 is None and a1 is not None
+        for got, want in zip(un0, un1):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st0), np.asarray(st1),
+                               rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dta0), np.asarray(dta1),
+                               rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dtu0), np.asarray(dtu1),
+                               rtol=1e-5, atol=1e-5)
+
+    def test_admm_tiled_alpha_refreshed(self, monkeypatch):
+        """On the alpha-eliding tiled route, admm_solve returns alpha ==
+        soft(D theta - u_scale u, lam/rho) — the exact prox of the final
+        state (_refresh_alpha)."""
+        from multivartv_tpu.config import SolverConfig
+        from multivartv_tpu.ops import diff as diff_ops
+        from multivartv_tpu.ops.prox import soft_threshold_blocks
+        from multivartv_tpu.solver import admm
+        from multivartv_tpu.solver.problem import Problem, build_operators
+
+        m = (32, 128)
+        monkeypatch.setattr(pk, "_tile_rows", lambda mm: 8)
+        monkeypatch.setattr(admm, "FORCE_FUSED_INTERPRET", True)
+        rng = np.random.RandomState(23)
+        deltas = jnp.asarray([0.4, 0.9], jnp.float32)
+        counts = jnp.asarray(rng.poisson(2, m).astype(np.float32))
+        oty = jnp.asarray(rng.randn(*m).astype(np.float32)) * counts
+        problem = Problem(counts=counts, oty=oty,
+                          ybar=jnp.sum(oty) / jnp.sum(counts),
+                          flat_idx=jnp.zeros((1,), jnp.int32),
+                          y=jnp.zeros((1,), jnp.float32))
+        lam = jnp.asarray(0.08, jnp.float32)
+        cfg = SolverConfig(chunk_iters=1, cg_fixed_iters=3, max_iters=25,
+                           use_pallas=True)
+        ops = build_operators(m, deltas, cfg, jnp.float32)
+        s0 = admm.initial_state(ops, problem, rho0=lam / 5.0)
+        out = admm.admm_solve(ops, problem, lam, s0, cfg)
+        d_theta = ops.apply_D(out.theta)
+        want = soft_threshold_blocks(
+            tuple(dt - out.u_scale * w for dt, w in zip(d_theta, out.u)),
+            lam / out.rho)
+        for got, ref in zip(out.alpha, want):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       atol=1e-6)
+
     @pytest.mark.parametrize("tile_rows", [8, 16])
     def test_tiled_rhs_matches_jnp(self, tile_rows):
         from multivartv_tpu.ops import diff as diff_ops

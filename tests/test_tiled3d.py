@@ -81,6 +81,30 @@ def test_dual3d_matches_jnp(setup):
         assert abs(w - g) <= 1e-3 * max(abs(w), 1e-6)
 
 
+def test_dual3d_want_alpha_elided(setup):
+    """want_alpha=False (r5): u_new/stats/dta/dtu bit-match the
+    want_alpha=True call; alpha slot is None."""
+    bins, deltas, scales, theta, u = setup
+    kappa = jnp.float32(0.3)
+    uscale = jnp.float32(0.7)
+    a1, un1, st1, dta1, dtu1 = pk.dual_update_tiled_3d(
+        theta, u, kappa, scales, u_scale=uscale, want_adjoints=True,
+        interpret=True, tile_rows=T3)
+    a0, un0, st0, dta0, dtu0 = pk.dual_update_tiled_3d(
+        theta, u, kappa, scales, u_scale=uscale, want_adjoints=True,
+        want_alpha=False, interpret=True, tile_rows=T3)
+    assert a0 is None and len(a1) == 7
+    for got, want in zip(un0, un1):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st0), np.asarray(st1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dta0), np.asarray(dta1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dtu0), np.asarray(dtu1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_gram_residual3d_matches_jnp(setup):
     bins, deltas, scales, theta, u = setup
     rng = np.random.RandomState(5)

@@ -66,6 +66,34 @@ def test_sharded_dual_matches_single(row_mesh, small_tiles):
                                rtol=1e-5)
 
 
+def test_sharded_dual_want_alpha_elided(row_mesh, small_tiles):
+    """want_alpha=False through the shard_map wrapper: u_new/stats/dta/
+    dtu match the want_alpha=True call; alpha slot is None."""
+    theta, u, _ = _blocks(seed=3)
+    scales = (jnp.float32(1.0), jnp.float32(0.4), jnp.float32(0.7))
+    kappa = jnp.float32(0.05)
+    usc = jnp.float32(0.5)
+    key = ts.register_shard_mesh(row_mesh, "sx")
+    a1, u1, st1, dta1, dtu1 = jax.jit(
+        lambda th, uu: ts.dual_update_tiled_2d_sharded(
+            key, th, uu, kappa, scales, u_scale=usc, want_adjoints=True,
+            interpret=True))(theta, u)
+    a0, u0, st0, dta0, dtu0 = jax.jit(
+        lambda th, uu: ts.dual_update_tiled_2d_sharded(
+            key, th, uu, kappa, scales, u_scale=usc, want_adjoints=True,
+            want_alpha=False, interpret=True))(theta, u)
+    assert a0 is None and a1 is not None
+    for a, b in zip(u1, u0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st1), np.asarray(st0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dta1), np.asarray(dta0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dtu1), np.asarray(dtu0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sharded_dual_with_true_m(row_mesh, small_tiles):
     """Exact-padding masks use GLOBAL rows under sharding."""
     theta, u, _ = _blocks(seed=5)
