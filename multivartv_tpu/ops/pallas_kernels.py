@@ -1641,19 +1641,34 @@ def _tiled_gram_kernel(T, m0, m1, n_tiles,
     out_ref[:] = counts_ref[:] * v[H:T + H] + acc[H:T + H]
 
 
-def _tiled_gram_res_kernel(T, m0, m1, n_tiles, sharded, *refs):
+def _tiled_gram_res_kernel(T, m0, m1, n_tiles, sharded, fuse_rhs, *refs):
     """r0 = b - (counts + rho D'D) v on row panels — the gram matvec of
     _tiled_gram_kernel with the spectral-correction CG's initial-residual
     subtraction fused in (saves a separate read-Av/read-b/write-r0 XLA
-    pass per ADMM iteration).  sharded: see _tiled_dual_kernel."""
+    pass per ADMM iteration).  sharded: see _tiled_dual_kernel.
+
+    fuse_rhs (r5): b never materializes — the refs carry (oty, dta, dtu)
+    instead of b and the kernel forms b = oty + rho (dta + u_scale dtu)
+    in VMEM (the adjoint-carry rhs is b's ONLY consumer on this route,
+    so fusing it here deletes two full-lattice passes per iteration)."""
+    nb = 3 if fuse_rhs else 1
+    k = 0
     if sharded:
-        (off_ref, h_top, h_bot, v_hbm, counts_ref, b_ref, scal_ref,
-         out_ref, v_s, sems, hsems) = refs
+        off_ref = refs[k]; k += 1
+        h_top, h_bot = refs[k:k + 2]; k += 2
         halos = [(h_top, h_bot)]
     else:
-        (v_hbm, counts_ref, b_ref, scal_ref, out_ref, v_s, sems) = refs
+        off_ref = None
         halos = None
         hsems = None
+    v_hbm, counts_ref = refs[k:k + 2]; k += 2
+    b_refs = refs[k:k + nb]; k += nb
+    scal_ref = refs[k]; k += 1
+    out_ref = refs[k]; k += 1
+    v_s = refs[k]; k += 1
+    sems = refs[k]; k += 1
+    if sharded:
+        hsems = refs[k]
     t = pl.program_id(0)
     dtype = counts_ref.dtype
     rho_smix = scal_ref[0]
@@ -1678,62 +1693,92 @@ def _tiled_gram_res_kernel(T, m0, m1, n_tiles, sharded, *refs):
     dm = _fwd1(d0, mask1)
     acc = (rho_sax1 * _adj1(d1) + rho_sax0 * _adj0(d0)
            + rho_smix * _adj0(_adj1(dm)))
-    out_ref[:] = b_ref[:] - (counts_ref[:] * v[H:T + H] + acc[H:T + H])
+    if fuse_rhs:
+        oty_ref, dta_ref, dtu_ref = b_refs
+        bb = oty_ref[:] + scal_ref[3] * (dta_ref[:]
+                                         + scal_ref[4] * dtu_ref[:])
+    else:
+        bb = b_refs[0][:]
+    out_ref[:] = bb - (counts_ref[:] * v[H:T + H] + acc[H:T + H])
 
 
-def gram_residual_tiled_2d(b: jax.Array, v: jax.Array, counts: jax.Array,
+def gram_residual_tiled_2d(b: jax.Array | None, v: jax.Array,
+                           counts: jax.Array,
                            rho: jax.Array, scales: Tuple[jax.Array, ...],
+                           rhs_parts=None,
                            interpret: bool = False,
                            tile_rows: int | None = None) -> jax.Array:
-    """r0 = b - (counts + rho D'D) v, one streamed pass."""
+    """r0 = b - (counts + rho D'D) v, one streamed pass.
+
+    rhs_parts = (oty, dta, u_scale, dtu): fuse the adjoint-carry rhs
+    b = oty + rho (dta + u_scale dtu) into the kernel — b is ignored
+    (may be None) and never materializes in HBM."""
     m = tuple(int(s) for s in v.shape)
     dtype = v.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
     n_tiles = m[0] // T
     rho = jnp.asarray(rho, dtype)
-    scal = jnp.stack([
+    scal_list = [
         rho * jnp.asarray(scales[0], dtype) ** 2,
         rho * jnp.asarray(scales[1], dtype) ** 2,
         rho * jnp.asarray(scales[2], dtype) ** 2,
-    ])
+    ]
+    fuse = rhs_parts is not None
+    if fuse:
+        oty, dta, uscale, dtu = rhs_parts
+        scal_list += [rho, jnp.asarray(uscale, dtype)]
+        b_ins = (oty, dta, dtu)
+    else:
+        b_ins = (b,)
+    scal = jnp.stack(scal_list)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_spec = pl.BlockSpec((T, m[1]), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_tiled_gram_res_kernel, T, m[0], m[1], n_tiles,
-                          False),
+                          False, fuse),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(m, dtype),
-        in_specs=[any_spec, tile_spec, tile_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[any_spec, tile_spec] + [tile_spec] * len(b_ins)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tile_spec,
         scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)]
         + [pltpu.SemaphoreType.DMA((2, 1))],
         interpret=interpret,
         compiler_params=_params(),
-    )(v, counts, b, scal)
+    )(v, counts, *b_ins, scal)
     return out
 
 
-def gram_residual_tiled_2d_shard(b: jax.Array, v: jax.Array,
+def gram_residual_tiled_2d_shard(b: jax.Array | None, v: jax.Array,
                                  halo_top: jax.Array, halo_bot: jax.Array,
                                  row_off: jax.Array, m0_global: int,
                                  counts: jax.Array, rho: jax.Array,
                                  scales: Tuple[jax.Array, ...],
+                                 rhs_parts=None,
                                  interpret: bool = False,
                                  tile_rows: int | None = None) -> jax.Array:
     """Shard-local r0 = b - (counts + rho D'D) v (inside shard_map, rows
-    sharded); halo_top/halo_bot are v's neighbor boundary slabs."""
+    sharded); halo_top/halo_bot are v's neighbor boundary slabs.
+    rhs_parts: see gram_residual_tiled_2d (all parts row-sharded)."""
     m = tuple(int(s) for s in v.shape)
     dtype = v.dtype
     T = tile_rows if tile_rows is not None else _tile_rows(m)
     n_tiles = m[0] // T
     rho = jnp.asarray(rho, dtype)
-    scal = jnp.stack([
+    scal_list = [
         rho * jnp.asarray(scales[0], dtype) ** 2,
         rho * jnp.asarray(scales[1], dtype) ** 2,
         rho * jnp.asarray(scales[2], dtype) ** 2,
-    ])
+    ]
+    fuse = rhs_parts is not None
+    if fuse:
+        oty, dta, uscale, dtu = rhs_parts
+        scal_list += [rho, jnp.asarray(uscale, dtype)]
+        b_ins = (oty, dta, dtu)
+    else:
+        b_ins = (b,)
+    scal = jnp.stack(scal_list)
     off = jnp.asarray(row_off, jnp.int32).reshape(1)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -1742,17 +1787,17 @@ def gram_residual_tiled_2d_shard(b: jax.Array, v: jax.Array,
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_tiled_gram_res_kernel, T, int(m0_global), m[1],
-                          n_tiles, True),
+                          n_tiles, True, fuse),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(m, dtype),
-        in_specs=[smem_spec, halo_spec, halo_spec, any_spec, tile_spec,
-                  tile_spec, smem_spec],
+        in_specs=[smem_spec, halo_spec, halo_spec, any_spec, tile_spec]
+        + [tile_spec] * len(b_ins) + [smem_spec],
         out_specs=tile_spec,
         scratch_shapes=[pltpu.VMEM((2, T + 2 * HALO, m[1]), dtype)]
         + [pltpu.SemaphoreType.DMA((2, 1)), pltpu.SemaphoreType.DMA((2, 1))],
         interpret=interpret,
         compiler_params=_params(),
-    )(off, halo_top, halo_bot, v, counts, b, scal)
+    )(off, halo_top, halo_bot, v, counts, *b_ins, scal)
     return out
 
 
@@ -2172,10 +2217,13 @@ def rhs_tiled_3d(alpha: Tuple[jax.Array, ...], u: Tuple[jax.Array, ...],
     return out.reshape(m)
 
 
-def _tiled3_gram_res_kernel(T, m, n_tiles, H,
-                            v_hbm, counts_ref, b_ref, scal_ref, out_ref,
-                            v_s, sems):
-    """r0 = b - (counts + rho D'D) v on flat row panels (p = 3)."""
+def _tiled3_gram_res_kernel(T, m, n_tiles, H, fuse_rhs, *refs):
+    """r0 = b - (counts + rho D'D) v on flat row panels (p = 3).
+    fuse_rhs: see _tiled_gram_res_kernel."""
+    nb = 3 if fuse_rhs else 1
+    v_hbm, counts_ref = refs[0:2]
+    b_refs = refs[2:2 + nb]
+    scal_ref, out_ref, v_s, sems = refs[2 + nb:6 + nb]
     t = pl.program_id(0)
     m0, m1, m2 = m
     dtype = counts_ref.dtype
@@ -2192,14 +2240,24 @@ def _tiled3_gram_res_kernel(T, m, n_tiles, H,
     for k, b in enumerate(_BINARIES3):
         term = scales_sq[k] * _achain3(_fchain3(v, b, m1, mask012), b, m1)
         acc = term if acc is None else acc + term
-    out_ref[:] = b_ref[:] - (counts_ref[:] * v[sl] + acc[sl])
+    if fuse_rhs:
+        oty_ref, dta_ref, dtu_ref = b_refs
+        bb = oty_ref[:] + scal_ref[7] * (dta_ref[:]
+                                         + scal_ref[8] * dtu_ref[:])
+    else:
+        bb = b_refs[0][:]
+    out_ref[:] = bb - (counts_ref[:] * v[sl] + acc[sl])
 
 
-def gram_residual_tiled_3d(b: jax.Array, v: jax.Array, counts: jax.Array,
+def gram_residual_tiled_3d(b: jax.Array | None, v: jax.Array,
+                           counts: jax.Array,
                            rho: jax.Array, scales: Tuple[jax.Array, ...],
+                           rhs_parts=None,
                            interpret: bool = False,
                            tile_rows: int | None = None) -> jax.Array:
-    """r0 = b - (counts + rho D'D) v, one streamed pass (p = 3)."""
+    """r0 = b - (counts + rho D'D) v, one streamed pass (p = 3).
+    rhs_parts = (oty, dta, u_scale, dtu): fuse b = oty + rho (dta +
+    u_scale dtu) in-kernel; b is ignored and never materializes."""
     m = tuple(int(s) for s in v.shape)
     m0, m1, m2 = m
     dtype = v.dtype
@@ -2208,21 +2266,29 @@ def gram_residual_tiled_3d(b: jax.Array, v: jax.Array, counts: jax.Array,
     rows = m0 * m1
     n_tiles = rows // T
     rho = jnp.asarray(rho, dtype)
-    scal = jnp.stack([rho * jnp.asarray(s, dtype) ** 2 for s in scales])
+    scal_list = [rho * jnp.asarray(s, dtype) ** 2 for s in scales]
     flat = lambda x: x.reshape(rows, m2)
+    fuse = rhs_parts is not None
+    if fuse:
+        oty, dta, uscale, dtu = rhs_parts
+        scal_list += [rho, jnp.asarray(uscale, dtype)]
+        b_ins = (flat(oty), flat(dta), flat(dtu))
+    else:
+        b_ins = (flat(b),)
+    scal = jnp.stack(scal_list)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     tile_spec = pl.BlockSpec((T, m2), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_tiled3_gram_res_kernel, T, m, n_tiles, H),
+        functools.partial(_tiled3_gram_res_kernel, T, m, n_tiles, H, fuse),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((rows, m2), dtype),
-        in_specs=[any_spec, tile_spec, tile_spec,
-                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        in_specs=[any_spec, tile_spec] + [tile_spec] * len(b_ins)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=tile_spec,
         scratch_shapes=[pltpu.VMEM((2, T + 2 * H, m2), dtype)]
         + [pltpu.SemaphoreType.DMA((2, 1))],
         interpret=interpret,
         compiler_params=_params(),
-    )(flat(v), flat(counts), flat(b), scal)
+    )(flat(v), flat(counts), *b_ins, scal)
     return out.reshape(m)

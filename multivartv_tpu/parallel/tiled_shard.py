@@ -172,10 +172,14 @@ def rhs_tiled_2d_sharded(key: int, alpha, u, oty, rho, u_scale, scales,
                usc, scal3)
 
 
-def gram_residual_tiled_2d_sharded(key: int, b: jax.Array, v: jax.Array,
+def gram_residual_tiled_2d_sharded(key: int, b: jax.Array | None,
+                                   v: jax.Array,
                                    counts: jax.Array, rho, scales,
+                                   rhs_parts=None,
                                    interpret: bool = False) -> jax.Array:
-    """Sharded twin of pk.gram_residual_tiled_2d."""
+    """Sharded twin of pk.gram_residual_tiled_2d.  rhs_parts = (oty, dta,
+    u_scale, dtu): fuse b = oty + rho (dta + u_scale dtu) in-kernel (all
+    lattice parts row-sharded); b is ignored and never materializes."""
     mesh, ax = get_shard_ctx(key)
     nsx = mesh.shape[ax]
     m0g = int(v.shape[0])
@@ -185,6 +189,23 @@ def gram_residual_tiled_2d_sharded(key: int, b: jax.Array, v: jax.Array,
     scal3 = jnp.stack([jnp.asarray(s, dtype) for s in scales[:3]])
     spec = P(ax, None)
     rep = P()
+
+    if rhs_parts is not None:
+        oty, dta, uscale, dtu = rhs_parts
+        usc = jnp.asarray(uscale, dtype)
+
+        @partial(jax.shard_map, mesh=mesh, check_vma=False,
+                 in_specs=(spec, spec, spec, spec, spec, rep, rep, rep),
+                 out_specs=spec)
+        def run_fused(ot, da, du, vv, cc, rh, us, sc):
+            off = jax.lax.axis_index(ax) * m0l
+            top, bot = _halo_pair(vv, ax, nsx)
+            return pk.gram_residual_tiled_2d_shard(
+                None, vv, top, bot, off, m0g, cc, rh,
+                (sc[0], sc[1], sc[2]), rhs_parts=(ot, da, us, du),
+                interpret=interpret)
+
+        return run_fused(oty, dta, dtu, v, counts, rho, usc, scal3)
 
     @partial(jax.shard_map, mesh=mesh, check_vma=False,
              in_specs=(spec, spec, spec, rep, rep),

@@ -296,6 +296,7 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
         # tiled-3D, which refreshes them from the dual kernel.
         new_dta, new_dtu = s.dta, s.dtu
         # x-update: b = O'y + rho D'(alpha + u_scale * u)
+        rhs_parts = None
         if use_pallas:
             b = pk.rhs_2d(s.alpha, s.u, problem.oty, s.rho, s.u_scale,
                           ops.scales)
@@ -306,8 +307,13 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
             # elementwise pass — replacing the 5.3 ms jnp adjoint
             # stencils (or the 2.9 ms streamed rhs kernel at 256^3;
             # pk.rhs_tiled_2d/rhs_tiled_3d remain as tested non-carried
-            # fallbacks).
+            # fallbacks).  rhs_parts additionally lets solve_x fuse the
+            # assembly into its gram-residual kernel, in which case b is
+            # dead below and XLA removes this elementwise pass entirely
+            # (the non-kernel fallthroughs inside solve_x — packed
+            # layout, tridiag, dct_direct — still consume the real b).
             b = problem.oty + s.rho * (s.dta + s.u_scale * s.dtu)
+            rhs_parts = (problem.oty, s.dta, s.u_scale, s.dtu)
         else:
             au = tuple(a + s.u_scale * w for a, w in zip(s.alpha, s.u))
             b = problem.oty + s.rho * ops.apply_Dt(au)
@@ -316,7 +322,8 @@ def make_admm_iteration(ops: Operators, problem: Problem, lam: jax.Array,
                                counts_blocked=counts_blocked,
                                tiled_ok=use_tiled, tiled3_ok=use_tiled3,
                                shard_key=(cfg.tiled_shard_key
-                                          if use_tiled_shard else None))
+                                          if use_tiled_shard else None),
+                               rhs_parts=rhs_parts)
         if use_pallas or use_tiled or use_tiled3 or use_tiled_shard:
             # Fused z/dual stage: one VMEM pass computes alpha, u_new and
             # every reduction the stopping/adaptation logic needs.

@@ -309,7 +309,8 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
             counts_blocked=None,
             tiled_ok: bool = False,
             tiled3_ok: bool = False,
-            shard_key=None) -> Tuple[jax.Array, jax.Array]:
+            shard_key=None,
+            rhs_parts=None) -> Tuple[jax.Array, jax.Array]:
     """Returns (theta, cg_iters).
 
     counts_blocked: optional precomputed blocked layout of counts (loop-
@@ -321,7 +322,13 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
     unavoidable traffic at 4096^2).
     shard_key: row-sharded tiled-kernel mode (parallel/tiled_shard.py) —
     the spectral CG's initial residual streams through the shard_map
-    gram-residual kernel."""
+    gram-residual kernel.
+    rhs_parts = (oty, dta, u_scale, dtu) (r5, adjoint-carry routes):
+    fuse b = oty + rho (dta + u_scale dtu) into the streamed gram-
+    residual kernel.  r0 is b's only consumer on the spectral-CG paths,
+    so the passed-in b becomes dead and XLA removes its materialization;
+    non-kernel fallthroughs (packed layout, tridiag, dct_direct) keep
+    consuming the real b."""
 
     if tiled_ok:
         from multivartv_tpu.ops import pallas_kernels as pk
@@ -334,9 +341,10 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
 
         def residual(bb, v):
             # r0 = b - A v with the subtraction fused into the streamed
-            # gram kernel (one pass instead of matvec + subtract).
+            # gram kernel (one pass instead of matvec + subtract); with
+            # rhs_parts, b's own assembly fuses in too.
             return pk.gram_residual_tiled_2d(
-                bb, v, counts, rho, ops.scales,
+                bb, v, counts, rho, ops.scales, rhs_parts=rhs_parts,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
     elif tiled3_ok:
         from multivartv_tpu.ops import pallas_kernels as pk
@@ -347,7 +355,7 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
 
         def residual(bb, v):
             return pk.gram_residual_tiled_3d(
-                bb, v, counts, rho, ops.scales,
+                bb, v, counts, rho, ops.scales, rhs_parts=rhs_parts,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
     elif shard_key is not None:
         from multivartv_tpu.parallel import tiled_shard as ts_mod
@@ -359,6 +367,7 @@ def solve_x(ops: Operators, counts: jax.Array, cbar: jax.Array,
         def residual(bb, v):
             return ts_mod.gram_residual_tiled_2d_sharded(
                 shard_key, bb, v, counts, rho, ops.scales,
+                rhs_parts=rhs_parts,
                 interpret=admm_mod.FORCE_FUSED_INTERPRET)
     else:
         def matvec(v):

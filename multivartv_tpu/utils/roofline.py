@@ -134,20 +134,21 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
     B = (1 << len(m)) - 1   # difference blocks (2^p - 1)
     tf = _transform_flops_per_knot(m, layout)
     # Tiled routes (r5): the dual kernel carries dta = D'alpha and
-    # dtu = D'u out (2 extra writes), collapsing the rhs to a 4-array
-    # fused elementwise pass (2-D and 3-D alike).
+    # dtu = D'u out (2 extra writes) and ELIDES the B dead alpha writes
+    # (admm_solve recomputes alpha once post-loop — amortized to ~0);
+    # the rhs assembly b = oty + rho (dta + s dtu) fuses into the
+    # gram-residual kernel, so b never materializes (r5.2).
     adjoint_carry = tiled
-    stages = [
-        Stage("rhs", reads=3, writes=1,
-              note="b = oty + rho (dta + s dtu), fused elementwise")
-        if adjoint_carry else
+    stages = ([] if adjoint_carry else [
         # b = oty + rho D'(alpha + u_scale u): B alpha + B u + oty -> b
         Stage("rhs", reads=2 * B + 1, writes=1,
-              note="tiled rhs kernel (one pass)" if tiled
-              else "jnp adjoint stencils"),
-        # r0 = b - (counts x0 + rho Gram x0), fused residual kernel
-        Stage("cg.r0", reads=3, writes=1,
-              note="tiled gram-residual kernel (one pass)"),
+              note="jnp adjoint stencils"),
+    ]) + [
+        # r0 = b - (counts x0 + rho Gram x0), fused residual kernel;
+        # with carries the b-assembly operands stream in directly.
+        Stage("cg.r0", reads=5 if adjoint_carry else 3, writes=1,
+              note="tiled gram-residual kernel"
+              + (" + fused rhs assembly" if adjoint_carry else "")),
         # layout conversion natural -> blocks (one copy each way around
         # the whole x-update); reads f32, writes vector dtype
         Stage("cg.to_blocks", reads=1, writes=1, elem_bytes=(4 + vb) // 2),
@@ -184,11 +185,12 @@ def iteration_stages(m: Tuple[int, ...], n_steps: int = 3,
         Stage("cg.from_blocks", reads=1, writes=1, elem_bytes=vb),
         Stage("cg.apply_dx", reads=2, writes=1, elem_bytes=(4 + vb) // 2,
               note="x = x0 + dx"),
-        # Dual stage: theta + B u -> B alpha + B u (+ dta/dtu carries on
-        # the p=3 route) + Boyd stats
+        # Dual stage: theta + B u -> B u_new (+ dta/dtu carries; alpha
+        # writes elided on the carry routes) + Boyd stats
         Stage("dual", reads=B + 1.0,
-              writes=2.0 * B + (2.0 if adjoint_carry else 0.0),
-              note="tiled dual kernel (one pass, stats in-kernel)" if tiled
+              writes=(B + 2.0) if adjoint_carry else 2.0 * B,
+              note="tiled dual kernel (one pass, stats in-kernel, "
+                   "alpha elided)" if tiled
               else "jnp prox/dual stencils (multi-pass)"),
     ]
     return tuple(stages)
@@ -206,10 +208,13 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
     B = (1 << len(m)) - 1
     tf = _transform_flops_per_knot(m, layout)
     n_tf = 2 + 2 * n_steps   # fwd0, per-step inv+fwd, final inv
+    # Floor of the adjoint-carry program (the production path at these
+    # sizes): b never materializes (its operands stream into r0), alpha
+    # never crosses HBM inside the loop (recomputed once post-loop).
     return (
-        Stage("rhs", reads=2.0 * B + 1, writes=1),
-        Stage("cg.r0", reads=3, writes=1,
-              note="b, x0, counts -> r0 (gram matvec fused with subtract)"),
+        Stage("cg.r0", reads=5, writes=1,
+              note="oty, dta, dtu, counts, x0 -> r0 (rhs + gram matvec "
+                   "+ subtract in one pass)"),
         Stage("transforms", reads=float(n_tf), writes=float(n_tf),
               flops_per_knot=tf * n_tf, elem_bytes=vb,
               note="layout conversions fused into first/last transform"),
@@ -217,7 +222,7 @@ def floor_stages(m: Tuple[int, ...], n_steps: int = 3,
               elem_bytes=vb,
               note="one fused pass per CG step between transforms"),
         Stage("cg.apply_dx", reads=2, writes=1),
-        Stage("dual", reads=B + 1.0, writes=2.0 * B),
+        Stage("dual", reads=B + 1.0, writes=B + 2.0),
     )
 
 

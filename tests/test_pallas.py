@@ -293,6 +293,31 @@ class TestTiledKernels:
             np.asarray(dtu),
             np.asarray(diff_ops.apply_Dt(un, bins, scales)), atol=1e-5)
 
+    @pytest.mark.parametrize("tile_rows", [8, 16])
+    def test_tiled_gram_residual_rhs_fused(self, tile_rows):
+        """rhs_parts (r5): r0 with the b-assembly fused in-kernel equals
+        r0 computed against an explicitly materialized b."""
+        from multivartv_tpu.ops import diff as diff_ops
+        bins, scales, theta, u = self._setup(seed=31)
+        rng = np.random.RandomState(33)
+        m = self.M
+        counts = jnp.asarray(rng.poisson(3, m).astype(np.float32))
+        oty = jnp.asarray(rng.randn(*m).astype(np.float32))
+        dta = jnp.asarray(rng.randn(*m).astype(np.float32))
+        dtu = jnp.asarray(rng.randn(*m).astype(np.float32))
+        rho = jnp.float32(0.3)
+        usc = jnp.float32(0.7)
+        b = oty + rho * (dta + usc * dtu)
+        want = pk.gram_residual_tiled_2d(b, theta, counts, rho, scales,
+                                         interpret=True,
+                                         tile_rows=tile_rows)
+        got = pk.gram_residual_tiled_2d(None, theta, counts, rho, scales,
+                                        rhs_parts=(oty, dta, usc, dtu),
+                                        interpret=True,
+                                        tile_rows=tile_rows)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_tiled_dual_want_alpha_elided(self):
         """want_alpha=False (r5): u_new/stats/dta/dtu are bit-identical
         to the want_alpha=True call; the alpha slot is None (the writes

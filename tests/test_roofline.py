@@ -31,8 +31,11 @@ def test_block_count_scales_with_p():
                                                  vec_bf16=False)}
     s3 = {s.name: s for s in rl.iteration_stages((256, 256, 256),
                                                  vec_bf16=False)}
-    assert s2["rhs"].reads == 3 and s3["rhs"].reads == 3
-    assert s2["dual"].writes == 8 and s3["dual"].writes == 16
+    # r5.2: the rhs assembly fuses into cg.r0 (b never materializes) and
+    # the dual's alpha writes are elided (B + 2 carry writes remain).
+    assert "rhs" not in s2 and "rhs" not in s3
+    assert s2["cg.r0"].reads == 5 and s3["cg.r0"].reads == 5
+    assert s2["dual"].writes == 5 and s3["dual"].writes == 9
     s2u = {s.name: s for s in rl.iteration_stages((2048, 2048),
                                                   vec_bf16=False,
                                                   tiled=False)}
@@ -49,8 +52,8 @@ def test_bf16_halves_cg_traffic():
     f32 = _gb(rl.iteration_stages(m, vec_bf16=False), n)
     b16 = _gb(rl.iteration_stages(m, vec_bf16=True), n)
     assert b16 < f32
-    # the non-CG stages (rhs, dual, r0) are unchanged
-    for nm in ("rhs", "dual", "cg.r0"):
+    # the non-CG stages (dual, r0) are unchanged
+    for nm in ("dual", "cg.r0"):
         a = next(s for s in rl.iteration_stages(m, vec_bf16=False)
                  if s.name == nm)
         b = next(s for s in rl.iteration_stages(m, vec_bf16=True)

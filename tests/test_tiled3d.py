@@ -118,6 +118,26 @@ def test_gram_residual3d_matches_jnp(setup):
     np.testing.assert_allclose(np.asarray(r0), np.asarray(want), atol=1e-4)
 
 
+def test_gram_residual3d_rhs_fused(setup):
+    """rhs_parts (r5): the fused b-assembly matches an explicit b."""
+    bins, deltas, scales, theta, u = setup
+    rng = np.random.RandomState(21)
+    counts = jnp.asarray(rng.poisson(3, M3).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*M3).astype(np.float32))
+    dta = jnp.asarray(rng.randn(*M3).astype(np.float32))
+    dtu = jnp.asarray(rng.randn(*M3).astype(np.float32))
+    rho = jnp.float32(0.13)
+    usc = jnp.float32(0.6)
+    b = oty + rho * (dta + usc * dtu)
+    want = pk.gram_residual_tiled_3d(b, theta, counts, rho, scales,
+                                     interpret=True, tile_rows=T3)
+    got = pk.gram_residual_tiled_3d(None, theta, counts, rho, scales,
+                                    rhs_parts=(oty, dta, usc, dtu),
+                                    interpret=True, tile_rows=T3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_rhs3d_matches_jnp(setup):
     """The r5 p=3 rhs kernel (adjoint-only, top-halo-only panels) is
     exact vs the jnp adjoint stencils."""

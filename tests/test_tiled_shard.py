@@ -150,6 +150,31 @@ def test_sharded_gram_residual_matches_single(row_mesh, small_tiles):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_sharded_gram_residual_rhs_fused(row_mesh, small_tiles):
+    """rhs_parts through the shard_map wrapper matches an explicit b."""
+    rng = np.random.RandomState(29)
+    v = jnp.asarray(rng.randn(*M).astype(np.float32))
+    counts = jnp.asarray(rng.poisson(3, M).astype(np.float32))
+    oty = jnp.asarray(rng.randn(*M).astype(np.float32))
+    dta = jnp.asarray(rng.randn(*M).astype(np.float32))
+    dtu = jnp.asarray(rng.randn(*M).astype(np.float32))
+    scales = (jnp.float32(1.0), jnp.float32(0.4), jnp.float32(0.7))
+    rho = jnp.float32(0.3)
+    usc = jnp.float32(0.7)
+    b = oty + rho * (dta + usc * dtu)
+    key = ts.register_shard_mesh(row_mesh, "sx")
+    want = jax.jit(
+        lambda bb, vv, cc: ts.gram_residual_tiled_2d_sharded(
+            key, bb, vv, cc, rho, scales, interpret=True))(b, v, counts)
+    got = jax.jit(
+        lambda ot, da, du, vv, cc: ts.gram_residual_tiled_2d_sharded(
+            key, None, vv, cc, rho, scales,
+            rhs_parts=(ot, da, usc, du), interpret=True)
+    )(oty, dta, dtu, v, counts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_shard_supported_gate(row_mesh, small_tiles):
     key = ts.register_shard_mesh(row_mesh, "sx")
     binaries = diff_ops.fd_binaries(2, True)
