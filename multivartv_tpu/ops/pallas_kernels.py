@@ -378,16 +378,21 @@ def _xupdate_kernel(n_steps, b_ref, x_ref, counts_ref, t0_ref, t1_ref,
     r = b - matvec(x)
     z, rz = precond(r)
     p = z
-    for _ in range(n_steps):
+    for step in range(n_steps):
         ap = matvec(p)
         pap = jnp.sum(p * ap)
         alpha = rz / jnp.maximum(pap, eps)
         x = x + alpha * p
         r = r - alpha * ap
-        z, rz_new = precond(r)
-        beta = rz_new / jnp.maximum(rz, eps)
-        p = z + beta * p
-        rz = rz_new
+        if step + 1 < n_steps:
+            # Last-step precond feeds only beta/p — dead after the loop.
+            # Measured neutral on v5e (the lowering already DCEs the dead
+            # dots); kept explicit to match solver/xupdate.py's guard and
+            # to not depend on DCE for the kernel's FLOP accounting.
+            z, rz_new = precond(r)
+            beta = rz_new / jnp.maximum(rz, eps)
+            p = z + beta * p
+            rz = rz_new
     xout_ref[:] = x
     rsq_ref[0] = jnp.sum(r * r)
 
@@ -438,16 +443,21 @@ def _xupdate_kernel_packed(n_steps, b_ref, x_ref, counts_ref,
     r = b - matvec(x)
     z, rz = precond(r)
     p = z
-    for _ in range(n_steps):
+    for step in range(n_steps):
         ap = matvec(p)
         pap = jnp.sum(p * ap)
         alpha = rz / jnp.maximum(pap, eps)
         x = x + alpha * p
         r = r - alpha * ap
-        z, rz_new = precond(r)
-        beta = rz_new / jnp.maximum(rz, eps)
-        p = z + beta * p
-        rz = rz_new
+        if step + 1 < n_steps:
+            # Last-step precond feeds only beta/p — dead after the loop.
+            # Measured neutral on v5e (the lowering already DCEs the dead
+            # dots); kept explicit to match solver/xupdate.py's guard and
+            # to not depend on DCE for the kernel's FLOP accounting.
+            z, rz_new = precond(r)
+            beta = rz_new / jnp.maximum(rz, eps)
+            p = z + beta * p
+            rz = rz_new
     xout_ref[:] = x
     rsq_ref[0] = jnp.sum(r * r)
 
@@ -674,16 +684,22 @@ def _admm_chain(k_iters, n_steps, adapt, tau, tau_shrink, band, true_m,
                               a2_ref[:] + ue2)) - matvec(x)
         z, rz = precond(r)
         p = z
-        for _ in range(n_steps):
+        for step in range(n_steps):
             ap = matvec(p)
             pap = jnp.sum(p * ap)
             al = rz / jnp.maximum(pap, eps)
             x = x + al * p
             r = r - al * ap
-            z, rz_new = precond(r)
-            beta = rz_new / jnp.maximum(rz, eps)
-            p = z + beta * p
-            rz = rz_new
+            if step + 1 < n_steps:
+                # The last step's preconditioner apply feeds only beta/p,
+                # which nothing reads after the loop.  Measured neutral
+                # on v5e (the lowering already DCEs the dead dots); kept
+                # explicit to match the XLA spectral CG
+                # (solver/xupdate.py) and the kernel's FLOP accounting.
+                z, rz_new = precond(r)
+                beta = rz_new / jnp.maximum(rz, eps)
+                p = z + beta * p
+                rz = rz_new
         theta_ref[:] = x
         put_stat(5, jnp.sum(r * r))
 
