@@ -358,6 +358,12 @@ def roofline_extra(measured: dict):
             "frac_of_practical_bound": r["frac_of_practical_bound"],
             "achieved_gbps": r["achieved_gbps"],
         }
+        if "hbm_model_uninformative" in r:
+            # On-chip residency makes the HBM model a lower bound here
+            # (e.g. 2048^2) — carry the flag so BENCH_r*.json readers
+            # don't misread a fraction > 1 as kernel efficiency.
+            out[key]["hbm_model_uninformative"] = r[
+                "hbm_model_uninformative"]
     meas1d = measured.get("1d_1m")
     if isinstance(meas1d, (int, float)):
         from multivartv_tpu.utils.roofline import model_report_1d

@@ -328,7 +328,22 @@ def model_report(m: Tuple[int, ...], n_steps: int = 3,
             measured_iters_per_s * ft, 3)
         rep["frac_of_practical_bound"] = round(
             measured_iters_per_s * mt_prac, 3)
-        rep["achieved_gbps"] = round(mb * measured_iters_per_s / 1e9, 1)
+        achieved = mb * measured_iters_per_s / 1e9
+        rep["achieved_gbps"] = round(achieved, 1)
+        # A measured rate whose model-traffic-implied bandwidth exceeds
+        # the practical streaming ceiling means part of the modeled
+        # traffic never left on-chip memory (VMEM/CMEM residency between
+        # fused stages — e.g. 2048^2 f32, where inter-stage arrays are
+        # 16 MB).  The HBM model is then a LOWER bound and its fraction
+        # is not a kernel-efficiency statement; flag it so readers (and
+        # BENCH_r*.json consumers) do not misread fractions > 1
+        # (VERDICT r4 weak #2).
+        if achieved > bw * PRACTICAL_BW_FRACTION:
+            rep["hbm_model_uninformative"] = (
+                "implied bandwidth exceeds the measured streaming "
+                "ceiling: some modeled traffic is on-chip-resident; "
+                "treat model/practical fractions as lower-bound ratios, "
+                "not efficiency")
     return rep
 
 

@@ -95,3 +95,18 @@ def test_model_report_fields():
         assert k in r
     assert 0 < r["frac_of_model_bound"] < 1.2
     assert r["floor_bound_iters_per_s"] > r["model_bound_iters_per_s"]
+
+
+def test_model_report_residency_caveat():
+    # 2048^2 f32: the measured program keeps some inter-stage arrays
+    # on-chip, so the HBM-traffic model's implied bandwidth exceeds the
+    # streaming ceiling -- the report must flag the row as a lower-bound
+    # ratio rather than an efficiency (VERDICT r4 weak #2).
+    hot = rl.model_report((2048, 2048), kind="v5 lite",
+                          measured_iters_per_s=708.0)
+    assert hot["frac_of_model_bound"] > 1.0
+    assert "hbm_model_uninformative" in hot
+    # 4096^2 streams from HBM for real: no caveat.
+    cool = rl.model_report((4096, 4096), kind="v5 lite",
+                           measured_iters_per_s=127.0)
+    assert "hbm_model_uninformative" not in cool
